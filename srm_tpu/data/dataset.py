@@ -1,0 +1,243 @@
+"""End-to-end training-dataset assembly (SRMDataProcessor equivalent).
+
+Re-designs ``/root/reference/data_processing/srm_data_processing.py``:
+KLE realizations → per-split time tensors (with shut-in times injected) →
+positional midpoint grids → woven feature tensor ``(K, T, D, H, W, 5)`` with
+channels ``(z, y, x, time, permx)`` → per-channel statistics → lnk-linear
+normalization → (features, labels) groups, cached under a config-hash-keyed
+npz (ref :695-736, :877-905).
+
+In pure-physics mode (physics_mode_fraction >= 1) the train/val labels are
+zeros (ref :541-547); test labels come from parsed simulator outputs when a
+simulation directory exists (``srm_tpu.data.pipeline``), else zeros.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from srm_tpu.config import (
+    DEFAULT_GENERAL_CONFIG,
+    DEFAULT_RESERVOIR_CONFIG,
+    DEFAULT_WELLS_CONFIG,
+    WORKING_DIRECTORY,
+    generate_full_config_hash,
+)
+from srm_tpu.data.kle import generate_kle_numpy, split_realizations
+from srm_tpu.data.weave import create_positional_grids, split_tensor_sequence, weave_tensors
+from srm_tpu.utils.stats import DataSummary, compute_statistics
+
+log = logging.getLogger(__name__)
+
+FEATURE_KEYS = ["z", "y", "x", "time", "permx"]  # woven channel order
+
+
+class SRMDataProcessor:
+    """Builds, normalizes, and caches the SRM training dataset."""
+
+    def __init__(self, base_dir: Optional[str] = None,
+                 general_config: Optional[Dict] = None,
+                 reservoir_config: Optional[Dict] = None,
+                 wells_config: Optional[Dict] = None):
+        self.base_dir = base_dir or WORKING_DIRECTORY
+        self.general_config = copy.deepcopy(general_config or DEFAULT_GENERAL_CONFIG)
+        self.reservoir_config = copy.deepcopy(reservoir_config or DEFAULT_RESERVOIR_CONFIG)
+        self.wells_config = copy.deepcopy(wells_config or DEFAULT_WELLS_CONFIG)
+        self.dtype = np.float32
+        self.split_keys = self.general_config["split_keys"]
+        self.split_ratio = self.general_config["split_ratio"]
+        self.split_axis = self.general_config["split_axis"]
+        self.seed = self.general_config["seed"]
+        os.makedirs(self.base_dir, exist_ok=True)
+
+    # -- identity ------------------------------------------------------------
+    def config_hash(self) -> Tuple[str, str]:
+        return generate_full_config_hash(self.general_config, self.reservoir_config,
+                                         self.wells_config)
+
+    def kle_folder(self) -> str:
+        name, h = self.config_hash()
+        folder = os.path.join(self.base_dir, "static_dynamic", f"{name}_{h}")
+        os.makedirs(folder, exist_ok=True)
+        return folder
+
+    # -- pieces ---------------------------------------------------------------
+    def generate_kle_splits(self) -> Dict[str, np.ndarray]:
+        """KLE permeability realizations split along axis 0
+        (ref kle_realization_generator.py:610-699)."""
+        res = self.reservoir_config
+        spec = res["realizations"]["permx"]
+        fields, num_modes, _ = generate_kle_numpy(
+            n_realizations=spec["number"],
+            Nx=res["Nx"], Ny=res["Ny"], Nz=res["Nz"],
+            Lx=res["length"], Ly=res["width"], Lz=res["thickness"],
+            real_mean=spec["mean"], real_std=spec["std"],
+            corr_length_fac=spec["correlation_length_factor"],
+            energy_threshold=spec["energy_threshold"],
+            seed=spec.get("seed") or self.seed,
+            reverse_order=spec.get("reverse_order", True),
+            cond_values=spec.get("conditional_values"),
+            dtype=self.dtype,
+        )
+        log.info("KLE: %d modes for %d realizations", num_modes, spec["number"])
+        splits = split_realizations(fields, self.split_ratio[0],
+                                    self.general_config["split_sampling_method"], self.seed)
+        return {k: splits[k] for k in self.split_keys}
+
+    def generate_time_tensor(self) -> Dict[str, np.ndarray]:
+        """Per-split [N,1] time tensors: linspace(start, end, step) plus well
+        shut-in boundary times, sequential split on the time axis; val/test
+        get the full tensor (ref srm_data_processing.py:241-312)."""
+        g = self.general_config
+        num_steps = int((g["srm_end_time"] - g["srm_start_time"]) / g["srm_timestep"]) + 1
+        base = np.linspace(g["srm_start_time"], g["srm_end_time"], num_steps, dtype=self.dtype)
+        shutins = set()
+        for conn in self.wells_config["connections"]:
+            for interval in conn.get("shutin_days", []):
+                for t in interval:
+                    if t <= g["srm_end_time"]:
+                        shutins.add(float(t))
+        all_times = np.sort(np.unique(np.concatenate([base, np.array(sorted(shutins), self.dtype)])))
+        all_times = all_times[all_times <= g["srm_end_time"]].reshape(-1, 1)
+
+        ratios = self.split_ratio[1]
+        n = all_times.shape[0]
+        ends = [int(n * sum(ratios[: i + 1])) for i in range(len(ratios))]
+        starts = [0] + ends[:-1]
+        out = {}
+        for i, key in enumerate(self.split_keys):
+            if key in ("val", "test"):
+                out[key] = all_times
+            else:
+                out[key] = all_times[starts[i]: ends[i] if i + 1 < len(ends) + 1 else n]
+        return out
+
+    def positional_grids(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        res = self.reservoir_config
+        D = [res["length"], res["width"], res["thickness"]]
+        N = [res["Nx"], res["Ny"], res["Nz"]]
+        x, y, z = create_positional_grids(D, N, indexing="ij", transpose_order=[2, 1, 0])
+        add = lambda a: np.expand_dims(a, 0).astype(self.dtype)  # noqa: E731
+        return add(x), add(y), add(z)
+
+    def weave_split(self, permx: np.ndarray, times: np.ndarray,
+                    grids: Tuple[np.ndarray, np.ndarray, np.ndarray]) -> np.ndarray:
+        """Woven features (K, T, D, H, W, 5) with channels (z,y,x,t,k)."""
+        x, y, z = grids
+        tensor_list = [permx, times, x, y, z]
+        return weave_tensors(tensor_list, target_trailing_shape=permx.shape[1:],
+                             flatten_first_axes=False, merge_consecutive_singleton_dims=True)
+
+    # -- labels ---------------------------------------------------------------
+    def label_keys(self) -> List[str]:
+        return ["PRESSURE"] if self.general_config["fluid_type"] == "DG" else ["PRESSURE", "SGAS"]
+
+    def zero_labels(self, features: np.ndarray) -> Dict[str, np.ndarray]:
+        zeros = np.zeros_like(features[..., 0])
+        return {k: zeros for k in self.label_keys()}
+
+    def simulation_labels(self, split: str) -> Optional[Dict[str, np.ndarray]]:
+        """Parse simulator outputs for the split if a dynamic directory exists
+        (ref srm_data_processing.py:454-514). Returns None when absent."""
+        _, h = self.config_hash()
+        sim_dir = os.path.join(self.kle_folder(), f"dat_files_{split}_{h}", "dynamic")
+        if not os.path.isdir(sim_dir):
+            return None
+        from srm_tpu.data.pipeline import run_pipeline_for_directory
+        return run_pipeline_for_directory(sim_dir, shape=(self.reservoir_config["Nx"],
+                                                          self.reservoir_config["Ny"],
+                                                          self.reservoir_config["Nz"]))
+
+    # -- full pipeline ----------------------------------------------------------
+    def process_data(self):
+        kle = self.generate_kle_splits()
+        times = self.generate_time_tensor()
+        grids = self.positional_grids()
+
+        woven = {s: self.weave_split(kle[s], times[s], grids) for s in self.split_keys}
+
+        # labels
+        labels: Dict[str, Dict[str, np.ndarray]] = {}
+        physics = self.general_config["physics_mode_fraction"] >= 1.0
+        for s in self.split_keys:
+            sim = self.simulation_labels(s) if s == "test" else None
+            if sim is not None:
+                # align test features with available simulation snapshots
+                n_sim = next(iter(sim.values())).shape[0]
+                woven[s] = woven[s][:n_sim]
+                labels[s] = sim
+            elif physics:
+                labels[s] = self.zero_labels(woven[s])
+            else:
+                labels[s] = self.zero_labels(woven[s])
+
+        # prediction split: test permeabilities at the unseen (late) times
+        split_ratio_pred = copy.deepcopy(self.split_ratio)
+        split_ratio_pred[0] = (0.0, 0.0, 1.0)
+        _, _, pred_feats = split_tensor_sequence([woven["test"]], split_ratio_pred,
+                                                 self.split_axis, seed=self.seed)
+        _, _, pred_lbls = split_tensor_sequence([labels["test"]], split_ratio_pred,
+                                                self.split_axis, seed=self.seed)
+        pred_features, pred_labels = pred_feats[0], pred_lbls[0]
+
+        # statistics from TRAIN features only (ref srm_data_processing.py:650-656)
+        statistics = compute_statistics(woven["train"], FEATURE_KEYS)
+        for k in self.label_keys():
+            lab = labels["train"][k]
+            statistics[k.lower()] = {"min": float(lab.min()), "max": float(lab.max()),
+                                     "mean": float(lab.mean()), "std": float(lab.std()),
+                                     "shape": list(lab.shape)}
+        stats_path = self.save_statistics(statistics)
+        summary = DataSummary([statistics], dtype=self.dtype)
+
+        # normalize features (channels 0..4 → stats rows 0..4)
+        norm_config = self.general_config["data_normalization"]
+        stats_idx = np.stack([np.arange(5), np.arange(5)])
+
+        def norm(f):
+            return np.asarray(summary.normalize(f, norm_config=norm_config,
+                                                statistics_index=stats_idx, compute=True))
+
+        groups = {}
+        for s in self.split_keys:
+            groups[s] = [(norm(woven[s]), labels[s])]
+        pred_groups = [(norm(pred_features), pred_labels)]
+
+        return groups["train"], groups["val"], groups["test"], pred_groups, statistics, stats_path
+
+    # -- caching ----------------------------------------------------------------
+    def save_statistics(self, statistics: Dict) -> str:
+        _, h = self.config_hash()
+        path = os.path.join(self.kle_folder(), f"training_statistics_summary_{h}.json")
+        with open(path, "w") as f:
+            json.dump(statistics, f, indent=2)
+        return path
+
+    def load_training_statistics(self, train_config_hash: Optional[str] = None) -> Dict:
+        h = train_config_hash or self.config_hash()[1]
+        path = os.path.join(self.kle_folder(), f"training_statistics_summary_{h}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def _cache_path(self) -> str:
+        _, h = self.config_hash()
+        return os.path.join(self.kle_folder(), f"training_data_{h}.npz")
+
+    def get_or_generate_training_data(self, train_silent: bool = True):
+        """(path, train_groups, val_groups, test_groups, pred_groups), cached
+        by config hash (ref srm_data_processing.py:877-905)."""
+        path = self._cache_path()
+        if os.path.exists(path):
+            with np.load(path, allow_pickle=True) as z:
+                payload = z["payload"].item()
+            return (path, payload["train"], payload["val"], payload["test"], payload["pred"])
+        tr, va, te, pr, stats, _ = self.process_data()
+        payload = {"train": tr, "val": va, "test": te, "pred": pr}
+        np.savez_compressed(path, payload=np.array(payload, dtype=object))
+        return path, tr, va, te, pr
