@@ -1,0 +1,211 @@
+"""Physics-layer tests: relperm, PVT, well scatter/shut-in masks, BHP solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srm_tpu.physics.relperm import RelativePermeability
+from srm_tpu.physics.pvt import make_pvt_layer, properties_for, solve_spline_weights, spline_eval
+from srm_tpu.physics.wells import WellDataProcessor, scatter_to_grid, conn_shutins_mask
+from srm_tpu.physics.well_solver import WellRatesPressure
+from srm_tpu.config import DEFAULT_PVT_DG_CONFIG, get_configuration
+from srm_tpu.utils.stats import DataSummary
+
+
+# --------------------------------------------------------------------------
+# Relative permeability
+# --------------------------------------------------------------------------
+def test_relperm_bounds_and_endpoints():
+    rp = RelativePermeability.from_config()
+    sg = jnp.linspace(rp.sgc, rp.sg_max, 200)
+    krog, krgo = rp.compute_krog_krgo(sg)
+    assert float(krog.min()) >= 0 and float(krog.max()) <= rp.kro_somax + 1e-6
+    assert float(krgo.min()) >= 0 and float(krgo.max()) <= rp.krg_swmin + 1e-6
+    # high gas saturation → no oil flow
+    assert float(krog[-1]) == 0.0
+    # monotonic in the interior
+    assert np.all(np.diff(np.asarray(krgo)) >= -1e-6)
+
+
+def test_relperm_bisection_roundtrip():
+    """Inverse property: compute_sg(krgo/krog) recovers sg (ref quantitative
+    self-check at relative_permeability.py:160-171)."""
+    rp = RelativePermeability.from_config()
+    sg = jnp.linspace(0.1, 0.5, 64)  # region where both curves are positive
+    krog, krgo = rp.compute_krog_krgo(sg)
+    ratio = krgo / jnp.where(krog > 0, krog, 1e-10)
+    sg_rec = rp.compute_sg(ratio)
+    mask = np.asarray(krog) > 1e-5
+    err = np.abs(np.asarray(sg_rec) - np.asarray(sg))[mask]
+    assert err.mean() < 1e-3
+
+
+# --------------------------------------------------------------------------
+# PVT
+# --------------------------------------------------------------------------
+def test_pvt_polynomial_values_and_derivs():
+    layer = make_pvt_layer(DEFAULT_PVT_DG_CONFIG)
+    p = jnp.full((2, 1, 4, 4, 1), 100.0)
+    params = layer.init(jax.random.PRNGKey(0), p)
+    out = layer.apply(params, p)
+    assert out.shape == (2, 2, 2, 1, 4, 4, 1)
+    # invBg = 1 + 0.1p + 0.01p^2 at p=100 → 1+10+100=111; d/dp = .1+.02*100=2.1
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 111.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1, 0]), 2.1, rtol=1e-5)
+
+
+def test_pvt_polynomial_clamp_zero_derivative():
+    layer = make_pvt_layer(DEFAULT_PVT_DG_CONFIG)
+    p = jnp.asarray([[5.0]])  # below min threshold 14.7
+    params = layer.init(jax.random.PRNGKey(0), p)
+    out = layer.apply(params, p)
+    assert float(out[1, 0, 0, 0]) == 0.0  # derivative zero outside clamp band
+
+
+def test_spline_interpolates_knots():
+    knots = np.linspace(0.0, 1.0, 10).astype(np.float32)
+    vals = np.sin(knots * 6.28)
+    w, v = solve_spline_weights(knots, vals, order=2, regularization_weight=0.0)
+    out = spline_eval(jnp.asarray(knots), jnp.asarray(knots), jnp.asarray(w), jnp.asarray(v), 2)
+    np.testing.assert_allclose(np.asarray(out), vals, atol=2e-4)
+
+
+def test_pvt_spline_table_accuracy():
+    """Spline PVT through the bundled table reproduces knot values and has
+    finite-difference-consistent derivatives."""
+    cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    cfg["spline_order"] = 1
+    layer = make_pvt_layer(cfg)
+    from srm_tpu.data.pvt_table import load_pvt_table
+    tab = load_pvt_table()
+    p = jnp.asarray(tab["pre"][5:30]).reshape(-1, 1)
+    params = layer.init(jax.random.PRNGKey(0), p)
+    out = layer.apply(params, p)
+    # regularization_weight=0.001 makes this a smoothed fit (as in the
+    # reference), not exact interpolation → ~0.5% knot error is expected
+    np.testing.assert_allclose(np.asarray(out[0, 0, :, 0]), tab["invbg"][5:30], rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(out[0, 1, :, 0]), tab["invug"][5:30], rtol=1e-2)
+    # derivative ≈ central finite difference
+    h = 1.0
+    pm = layer.apply(params, p - h)[0, 0]
+    pp = layer.apply(params, p + h)[0, 0]
+    fd = np.asarray((pp - pm) / (2 * h))
+    np.testing.assert_allclose(np.asarray(out[1, 0]), fd, rtol=1e-2, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Wells
+# --------------------------------------------------------------------------
+def test_well_data_signed_controls():
+    wdp = WellDataProcessor(get_configuration_wells())
+    data = wdp.get_well_data()
+    assert data["connection_index"].shape == (5, 3)
+    # (k, j, i) ordering
+    np.testing.assert_array_equal(data["connection_index"][0], [0, 29, 29])
+    # producers positive, injector value 0
+    assert data["control_mode_value"][0] == 500.0
+    assert data["control_mode_value"][4] == 0.0
+
+
+def get_configuration_wells():
+    from srm_tpu.config import DEFAULT_WELLS_CONFIG
+    return DEFAULT_WELLS_CONFIG["connections"]
+
+
+def test_scatter_to_grid():
+    conn = np.array([[0, 2, 3], [0, 1, 1]])
+    g = scatter_to_grid((1, 1, 4, 4, 1), conn, [7.0, 9.0])
+    g = np.asarray(g)
+    assert g[0, 0, 2, 3, 0] == 7.0
+    assert g[0, 0, 1, 1, 0] == 9.0
+    assert g.sum() == 16.0
+
+
+def test_conn_shutins_mask():
+    # time tensor (B, k, j, i, 1); two wells, one shut during [2, 5]
+    B = 4
+    t = jnp.broadcast_to(jnp.asarray([0.0, 3.0, 6.0, 10.0]).reshape(B, 1, 1, 1, 1),
+                         (B, 1, 4, 4, 1))
+    conn = np.array([[0, 1, 1], [0, 2, 2]])
+    windows = np.array([[[2.0, 5.0]], [[1000.0, 0.0]]], np.float32)
+    m = np.asarray(conn_shutins_mask(t, conn, windows, time_axis=0))
+    # non-well cells zero
+    assert m[0, 0, 0, 0, 0] == 0.0
+    # well 1: open at t=0, shut at t=3, open at t=6
+    assert m[0, 0, 1, 1, 0] == 1.0
+    assert m[1, 0, 1, 1, 0] == 0.0
+    assert m[2, 0, 1, 1, 0] == 1.0
+    # well 2: never shut (start > stop)
+    assert m[:, 0, 2, 2, 0].min() == 1.0
+
+
+# --------------------------------------------------------------------------
+# BHP solver
+# --------------------------------------------------------------------------
+STATS = {
+    "z": {"min": 40.0, "max": 40.0, "mean": 40.0, "std": 1.0},
+    "y": {"min": 37.0, "max": 2863.0, "mean": 1450.0, "std": 830.0},
+    "x": {"min": 37.0, "max": 2863.0, "mean": 1450.0, "std": 830.0},
+    "time": {"min": 0.0, "max": 255.0, "mean": 127.5, "std": 75.0},
+    "permx": {"min": 0.26, "max": 24.0, "mean": 2.96, "std": 1.43},
+}
+
+
+def _make_solver(**kw):
+    ds = DataSummary([STATS])
+    cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    cfg["spline_order"] = 1
+    layer = make_pvt_layer(cfg)
+    p0 = jnp.zeros((1, 1, 39, 39, 1))
+    params = layer.init(jax.random.PRNGKey(0), p0)
+    pvt_fn = lambda p: layer.apply(params, p)  # noqa: E731
+    return WellRatesPressure(fluid_type="DG", data_summary=ds, pvt_fn=pvt_fn, **kw)
+
+
+def _inputs(B=2):
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (B, 1, 39, 39, 5)).astype(np.float32)
+    x[..., 3] = 0.0  # mid time
+    p = np.full((B, 1, 39, 39, 1), 4500.0, np.float32)
+    return jnp.asarray(x), jnp.asarray(p)
+
+
+def test_bhp_non_iterative_bounds():
+    ws = _make_solver(use_non_iterative=True)
+    x, p = _inputs()
+    q, pwf = ws.compute_rates_and_bhp(x, p, None)
+    q, pwf = np.asarray(q), np.asarray(pwf)
+    well_id = np.asarray(ws.well_id)
+    # rates only at producing well cells, clipped to [0, qmax]
+    assert (q[..., :, :, :] * (1 - well_id) == 0).all()
+    assert q.min() >= 0.0
+    # at well cells, pwf within [min_bhp, p]
+    mask = np.broadcast_to(well_id, pwf.shape) > 0
+    assert pwf[mask].min() >= 4100.0 - 1e-3
+    assert pwf[mask].max() <= 4500.0 + 1e-3
+    # producers with positive target should produce
+    assert q.max() > 0.0
+
+
+def test_bhp_iterative_matches_target_when_feasible():
+    ws = _make_solver(use_non_iterative=False, max_iters=12, tol=1e-3)
+    x, p = _inputs(B=1)
+    q, pwf = ws.compute_rates_and_bhp(x, p, None)
+    q = np.asarray(q)
+    q0 = np.asarray(ws.q0)
+    # where the target rate is achievable the solver should approach it
+    well_mask = q0[0] > 0
+    achieved = q[0][well_mask]
+    target = q0[0][well_mask]
+    assert (achieved <= target + 1e-3).all()
+    assert achieved.max() > 0
+
+
+def test_solver_jit_compatible():
+    ws = _make_solver(use_non_iterative=True)
+    x, p = _inputs(B=1)
+    f = jax.jit(lambda x, p: ws.compute_rates_and_bhp(x, p, None))
+    q, pwf = f(x, p)
+    assert np.isfinite(np.asarray(q)).all()
+    assert np.isfinite(np.asarray(pwf)).all()
