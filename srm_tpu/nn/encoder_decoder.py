@@ -1,0 +1,230 @@
+"""Convolutional encoder–decoder over 2D/3D grids with optional temporal axis.
+
+TPU-native redesign of the reference ``EncoderDecoderModel``
+(``/root/reference/EncoderDecoderSubclassed.py:74-969``). The exact geometry
+is reproduced — it is a parity-critical detail for non-power-of-2 grids
+(39×39):
+
+encoder (depth=4, k=3):
+  L1: Conv(k, s=1, VALID)                       39 → 37
+  L2: ZeroPad(1) → Conv(k+2, s=2, VALID)        37 → 39 → 18
+  L3: ZeroPad(1) → Conv(k+2, s=2, VALID)        18 → 20 → 8
+  L4: ZeroPad(1) → Conv(k,   s=2, VALID)         8 → 10 → 4
+  (+2 extra SAME convs), filters [32, 48, 72, 108] (geometric 1.5x, even)
+latent: Dense stack on channels (no flatten by default)
+decoder: [dense-start if innermost skip] → {ConvTranspose(k, s=2, VALID) →
+  skip pad/project/add → act} ×(depth-1):                4 → 9 → 19 → 39
+  → bilinear resize only if the shape still mismatches → extra SAME convs →
+  Dense → 1×1 conv to input channels → out-activation → 1×1 projection to
+  output_filters.
+
+Differences from the reference, all deliberate:
+* TimeDistributed wrappers become a single (B,T)→B*T fold (same weight
+  sharing, zero overhead under XLA).
+* Skip tensors are returned functionally instead of stored as layer
+  attributes (the reference's encoder mutates ``self.skip_connections`` at
+  call time — unsafe under tracing; ref :268).
+* Skip channel projections live where they are used (decoder) and project to
+  the decoder's current width, equivalent to the reference's
+  Dense(filter_list[level]) when Decoder_Filter_Fac == 1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from srm_tpu.nn.common import fold_time, get_activation, get_initializer, network_width_list
+
+Array = jnp.ndarray
+
+
+def _skip_layers_list(residual_params: Dict) -> list:
+    sc = residual_params.get("Skip_Connections", {}) or {}
+    if not sc.get("Add", False):
+        return []
+    layers = sc.get("Layers", [])
+    if layers and isinstance(layers[0], (list, tuple)):
+        layers = layers[0]
+    return list(layers)
+
+
+class EncoderDecoderModel(nn.Module):
+    """Encoder–decoder with HardLayer-free output (pressure / saturation net)."""
+
+    depth: int = 4
+    width: Tuple[int, float] = (32, 1.5)           # (Bottom_Size, Growth_Rate)
+    spatial_dims: int = 2
+    temporal: bool = False
+    output_filters: int = 1
+    kernel_size: int = 3
+    kernel_init_name: str = "glorot_normal"
+    activation: Any = "swish"
+    out_activation: Any = None
+    dropout_rate: float = 0.0
+    dropout_layers: Tuple[int, ...] = ()
+    skip_layers: Tuple[int, ...] = ()              # 1/0 per encoder level
+    decoder_filter_fac: float = 1.0
+    latent_flatten: bool = False
+    latent_depth: int = 1
+    latent_width: int = 128
+    latent_activation: Any = None
+    extra_conv_layers: int = 2
+    extra_dec_conv_layers: int = 2
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "EncoderDecoderModel":
+        rp = config.get("residual_params", {}) or {}
+        w = config.get("width", {"Bottom_Size": 32, "Growth_Rate": 1.5})
+        drop = rp.get("Dropout", {}) or {}
+        lat = rp.get("Latent_Layer", {}) or {}
+        return cls(
+            depth=config.get("depth", 4),
+            width=(w["Bottom_Size"], w["Growth_Rate"]),
+            spatial_dims=config.get("spatial_dims", 2),
+            temporal=config.get("temporal", False),
+            output_filters=config.get("output_filters", 1),
+            kernel_size=rp.get("Kernel_Size", 3),
+            kernel_init_name=rp.get("Kernel_Init", "glorot_normal"),
+            activation=rp.get("Activation_Func", "swish"),
+            out_activation=rp.get("Out_Activation_Func"),
+            dropout_rate=drop.get("Rate", 0.0) if drop.get("Add", False) else 0.0,
+            dropout_layers=tuple(drop.get("Layer", []) or ()),
+            skip_layers=tuple(_skip_layers_list(rp)),
+            decoder_filter_fac=rp.get("Decoder_Filter_Fac", 1.0),
+            latent_flatten=lat.get("Flatten", False),
+            latent_depth=lat.get("Depth", 1),
+            latent_width=lat.get("Width", 128),
+            latent_activation=lat.get("Activation"),
+            extra_conv_layers=(rp.get("Extra_Conv_Layers", {}) or {}).get("Count", 0),
+            extra_dec_conv_layers=(rp.get("Extra_Dec_Conv_Layers", {}) or {}).get("Count", 0),
+        )
+
+    def _filters(self) -> list[int]:
+        return network_width_list(self.depth, self.width[0], ngens=self.depth,
+                                  growth_rate=self.width[1], network_type="plain")
+
+    def _use_skip(self, level_i: int) -> bool:
+        return (level_i < len(self.skip_layers)
+                and self.skip_layers[level_i] not in (None, 0))
+
+    @nn.compact
+    def __call__(self, inputs: Array, training: bool = False) -> Array:
+        act = get_activation(self.activation)
+        init = get_initializer(self.kernel_init_name)
+        filters = self._filters()
+        k = self.kernel_size
+        nd = self.spatial_dims
+
+        x, unfold = fold_time(inputs, self.temporal)
+        in_channels = x.shape[-1]
+        target_spatial = x.shape[1:-1]
+
+        # ---------------- encoder (ref EncoderLayer.build/call :104-285) -----
+        skips: Dict[int, Array] = {}
+        for i in range(self.depth):
+            if i == 0:
+                x = nn.Conv(filters[0], (k,) * nd, strides=1, padding="VALID",
+                            kernel_init=init, name=f"enc_conv_{i+1}")(x)
+            else:
+                pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
+                x = jnp.pad(x, pad)
+                ks = k + 2 if i < self.depth - 1 else k
+                x = nn.Conv(filters[i], (ks,) * nd, strides=2, padding="VALID",
+                            kernel_init=init, name=f"enc_conv_{i+1}")(x)
+            if self._use_skip(i):
+                skips[i + 1] = x        # pre-activation, as in ref :267-268
+            x = act(x)
+            if (self.dropout_rate > 0 and i < len(self.dropout_layers)
+                    and self.dropout_layers[i] == 1):
+                x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
+        for j in range(self.extra_conv_layers):
+            x = nn.Conv(filters[-1], (k,) * nd, strides=1, padding="SAME",
+                        kernel_init=init, name=f"enc_extra_conv_{j+1}")(x)
+            x = act(x)
+
+        # ---------------- latent (ref EncoderDecoderModel :855-958) ----------
+        lat_act = get_activation(self.latent_activation)
+        if self.latent_flatten:
+            shape = x.shape
+            flat = x.reshape((shape[0], -1))
+            total = flat.shape[-1]
+            width = self.latent_width
+            spatial_elems = int(jnp.prod(jnp.asarray(shape[1:-1])))
+            if width < spatial_elems:
+                width = spatial_elems
+            channels = max(width // spatial_elems, 1)
+            width = channels * spatial_elems
+            flat = lat_act(nn.Dense(width, kernel_init=init, name="latent_dense")(flat))
+            x = flat.reshape(shape[:-1] + (channels,))
+        elif self.latent_depth > 0:
+            for d in range(self.latent_depth):
+                x = lat_act(nn.Dense(self.latent_width, kernel_init=init,
+                                     name=f"latent_dense_{d}")(x))
+
+        # ---------------- decoder (ref DecoderLayer :316-735) ----------------
+        innermost_skip = bool(self.skip_layers) and self.skip_layers[-1] == 1
+        for i in range(self.depth):
+            if i == 0:
+                if innermost_skip:
+                    x = act(nn.Dense(filters[self.depth - 1], kernel_init=init,
+                                     name="dec_dense_start")(x))
+            else:
+                f = int(filters[self.depth - i - 1] * self.decoder_filter_fac)
+                x = nn.ConvTranspose(f, (k,) * nd, strides=(2,) * nd, padding="VALID",
+                                     kernel_init=init, name=f"dec_deconv_{self.depth-i}")(x)
+            level = self.depth - i
+            if level in skips:
+                skip = skips[level]
+                # center zero-pad skip to x's spatial shape (ref :470-562)
+                pads = [(0, 0)]
+                for s, t in zip(skip.shape[1:-1], x.shape[1:-1]):
+                    diff = t - s
+                    pads.append((diff // 2, diff - diff // 2))
+                pads.append((0, 0))
+                skip = jnp.pad(skip, pads)
+                if skip.shape[-1] != x.shape[-1]:
+                    skip = nn.Dense(x.shape[-1], kernel_init=init,
+                                    name=f"skip_proj_{level}")(skip)
+                x = x + skip
+            x = act(x)
+            if (self.dropout_rate > 0 and (self.depth - i - 1) < len(self.dropout_layers)
+                    and self.dropout_layers[self.depth - i - 1] == 1):
+                x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
+
+        # resize back to the input spatial shape if needed (ref :643-719);
+        # with the depth-4 geometry on 39x39 the deconvs land exactly on 39.
+        if x.shape[1:-1] != target_spatial:
+            if nd == 2:
+                x = jax.image.resize(x, (x.shape[0],) + tuple(target_spatial) + (x.shape[-1],),
+                                     method="bilinear")
+            else:
+                d_t, h_t, w_t = target_spatial
+                x = jax.image.resize(x, (x.shape[0], x.shape[1], h_t, w_t, x.shape[-1]),
+                                     method="bilinear")
+                d_c = x.shape[1]
+                if d_c > d_t:
+                    start = (d_c - d_t) // 2
+                    x = x[:, start:start + d_t]
+                elif d_c < d_t:
+                    diff = d_t - d_c
+                    x = jnp.pad(x, [(0, 0), (diff // 2, diff - diff // 2),
+                                    (0, 0), (0, 0), (0, 0)])
+
+        for j in range(self.extra_dec_conv_layers):
+            x = nn.Conv(filters[0], (k,) * nd, strides=1, padding="SAME",
+                        kernel_init=init, name=f"dec_extra_conv_{j+1}")(x)
+            x = act(x)
+
+        x = act(nn.Dense(int(filters[0] * self.decoder_filter_fac), kernel_init=init,
+                         name="dec_final_dense")(x))
+        x = nn.Conv(in_channels, (1,) * nd, padding="SAME", kernel_init=init,
+                    name="dec_final_conv")(x)
+        x = get_activation(self.out_activation)(x)
+        if x.shape[-1] != self.output_filters:
+            x = nn.Conv(self.output_filters, (1,) * nd, padding="SAME",
+                        kernel_init=init, name="output_proj")(x)
+        return unfold(x)
