@@ -1,0 +1,498 @@
+"""PhysicsLoss: finite-volume PDE residual loss over the multi-model SRM.
+
+This module is the TPU-native reconstruction of the reference's **missing**
+``physics_loss_Subclassed.py`` (class ``PhysicsLoss``; interface recovered
+from its call sites at ``/root/reference/training.py:552-652`` and
+``training_case_dry_gas_i.py:357-364``), with the residual mathematics from
+the legacy functional file ``/root/reference/physics_loss.py``:
+
+* dry-gas residual      — ``physics_error_gas_2D``      (ref :9-227)
+* gas-condensate        — ``physics_error_gas_oil_2D``  (ref :230-712)
+* loss/grad assembly    — ``pinn_batch_sse_grad``       (ref :742-870)
+
+Design (all-TPU, one XLA program):
+
+* The entire evaluation — two network forward passes at times n and n+Δt
+  (Δt predicted per-sample by Model 2), PVT properties + AD derivatives,
+  well rates/BHP, stencil residuals, weighted SSE, and **per-model
+  gradients** — is one pure function of ``(params, x, y)``; the trainer jits
+  it together with the optimizer updates.
+* The reference takes 8 separate persistent-tape gradients (one per loss
+  term) plus the batch gradient, but its training loop applies only the
+  per-model gradient of the total weighted loss (training.py:643-652). Here
+  a single ``jax.grad`` over the params dict produces exactly those applied
+  updates; per-term MSEs are returned as aux for logging.
+* The reference adds the Richardson truncation-error term into the domain
+  accumulation with dom's weight (physics_loss.py:175); since
+  ``default_weights`` carries a separate ``tde`` weight, the term is kept
+  separate here and weighted by ``tde`` (equal totals at the default
+  dom == tde == 1).
+
+Feature layout: ``x`` is the woven normalized tensor ``(B, T, H, W, 5)``
+with channels ``(z, y, x, time, permx)``; porosity is the constant reservoir
+value (the reference's 6-channel variant carried it as a channel; the shipped
+5-channel pipeline does not).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srm_tpu.config import (
+    DEFAULT_GENERAL_CONFIG,
+    DEFAULT_RESERVOIR_CONFIG,
+    DEFAULT_SCAL_CONFIG,
+    DEFAULT_WELLS_CONFIG,
+    get_conversion_constants,
+    get_optimizer_model_mapping,
+)
+from srm_tpu.ops.stencil import (
+    Neighbors, average_faces, five_point_divergence, harmonic_faces,
+    neighbors, pad_symmetric, upstream_faces,
+)
+from srm_tpu.physics.relperm import RelativePermeability
+from srm_tpu.physics.wells import scatter_to_grid
+from srm_tpu.utils.stats import denormalize, normalize_diff
+
+Array = jnp.ndarray
+log = logging.getLogger(__name__)
+
+EPSILON = 1e-7  # keras backend epsilon used in the truncation-error term
+
+# loss-term order (mirrors the legacy _wmse list, ref physics_loss.py:863-867,
+# with tde split out as its own term)
+LOSS_TERMS = ("dom", "dbc", "nbc", "ibc", "ic", "mbc", "cmbc", "tde", "td")
+
+
+class PhysicsLoss:
+    """Composes the model map into PDE residual losses with per-model grads.
+
+    Parameters mirror the reference ctor (training_case_dry_gas_i.py:357-364)
+    with JAX separations: modules are passed together with a ``params`` dict
+    keyed by logical model name ('pressure', 'time_step', 'pvt_model',
+    'well_rate_bhp_model'[, 'saturation_model']).
+    """
+
+    def __init__(self, models: Dict[str, Any], data_summary,
+                 optimizer_model_names_map: Optional[Dict[str, str]] = None,
+                 general_config: Optional[Dict] = None,
+                 reservoir_config: Optional[Dict] = None,
+                 wells_config: Optional[Dict] = None,
+                 scal_config: Optional[Dict] = None,
+                 fluid_type: Optional[str] = None):
+        self.models = models
+        self.data_summary = data_summary
+        self.general_config = general_config or DEFAULT_GENERAL_CONFIG
+        self.reservoir_config = reservoir_config or DEFAULT_RESERVOIR_CONFIG
+        self.wells_config = wells_config or DEFAULT_WELLS_CONFIG
+        self.scal_config = scal_config or DEFAULT_SCAL_CONFIG
+        self.fluid_type = (fluid_type or self.general_config["fluid_type"]).upper()
+        self.physics_mode_fraction = float(self.general_config["physics_mode_fraction"])
+        self.optimizer_model_names_map = (optimizer_model_names_map
+                                          or get_optimizer_model_mapping(self.fluid_type))
+
+        units = get_conversion_constants(self.general_config["srm_units"])
+        self.C, self.D = units["C"], units["D"]
+        res = self.reservoir_config
+        self.dx = res["length"] / res["Nx"]
+        self.dy = res["width"] / res["Ny"]
+        self.dz = res["thickness"] / res["Nz"]
+        self.phi0 = res["porosity"]
+        self.Pi = res["initialization"]["Pi"]
+        self.Swmin = self.scal_config["end_points"]["Swmin"]
+        self.Sgi = 1.0 - self.Swmin
+        self.relperm = RelativePermeability.from_config(
+            self.scal_config["end_points"], self.scal_config["corey_exponents"])
+
+        # well scatter grids on the (H, W) plane
+        well = models["well_rate_bhp_model"]
+        conn = well.well_data["connection_index"]
+        Ny, Nx = res["Ny"], res["Nx"]
+        self.q_well_idx = np.asarray(
+            scatter_to_grid((1, Ny, Nx), conn[:, 1:], 1.0, start_dim=1))[0]
+        self.q_t0 = np.asarray(scatter_to_grid(
+            (1, Ny, Nx), conn[:, 1:], well.well_data["control_mode_value"], start_dim=1))[0]
+
+        # stat rows
+        ds = data_summary
+        self.t_row = np.asarray(ds.row("time"))
+        self.k_row = np.asarray(ds.row("permx"))
+        self.k_is_log = bool(ds.is_log_np[ds.get_key_index("permx")])
+        nc = self.general_config["data_normalization"]
+        self.norm_method = nc["feature_normalization_method"]
+        self.norm_limits = tuple(nc["normalization_limits"])
+
+        # loss keys + weights (ref default_configurations.py:63-84; the
+        # training loop reads custom_loss_fn.loss_keys, ref training.py:560)
+        w = self.general_config["default_weights"]
+        phases = ("gas",) if self.fluid_type == "DG" else ("gas", "oil")
+        self.loss_keys = {ph: [f"{t}_{ph[0]}" for t in LOSS_TERMS] for ph in phases}
+        self.weights = {
+            ph: {"dom": w[ph]["dom"], "dbc": w[ph]["obc"], "nbc": w[ph]["obc"],
+                 "ibc": w[ph]["ibc"], "ic": w[ph]["ic"], "mbc": w[ph]["mbc"],
+                 "cmbc": w[ph]["cmbc"], "tde": w[ph]["tde"], "td": w[ph]["td"]}
+            for ph in phases
+        }
+        self.trainable_models_keys = [k for k in self.optimizer_model_names_map
+                                      if k in ("pressure", "time_step", "saturation")]
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _denorm_time(self, t: Array) -> Array:
+        return denormalize(t, jnp.asarray(self.t_row), method=self.norm_method,
+                           limits=self.norm_limits, is_log=False)
+
+    def _denorm_permx(self, k: Array) -> Array:
+        return denormalize(k, jnp.asarray(self.k_row), method=self.norm_method,
+                           limits=self.norm_limits, is_log=self.k_is_log)
+
+    def _norm_dt(self, dt: Array) -> Array:
+        return normalize_diff(dt, jnp.asarray(self.t_row), method=self.norm_method,
+                              limits=self.norm_limits, is_log=False)
+
+    def _forward(self, params, x, training=True):
+        """One multi-model forward: (p, Δt-field, pvt, Sg)."""
+        m = self.models
+        p = m["pressure"].apply(params["pressure"], x, training=training)
+        dt = m["time_step"].apply(params["time_step"], x, training=training)
+        pvt = m["pvt_model"].apply(params["pvt_model"], p)
+        Sg = None
+        if self.fluid_type == "GC":
+            Sg_raw = m["saturation_model"].apply(params["saturation_model"], x,
+                                                 training=training)
+            # saturation hard-enforced to Sgi at t0 by its HardLayer; clamp to
+            # the physical range for the relperm/PVT consumers
+            Sg = jnp.clip(Sg_raw, 0.0, self.Sgi)
+        return p, dt, pvt, Sg
+
+    @staticmethod
+    def _sq(f: Array) -> Array:
+        """(B, T, H, W, 1) → (B, H, W): drop the singleton temporal/channel
+        axes for the stencil math."""
+        return f[:, 0, :, :, 0]
+
+    # ------------------------------------------------------------------
+    # residuals
+    # ------------------------------------------------------------------
+    def residuals(self, params, x: Array) -> Dict[str, Any]:
+        if self.fluid_type == "DG":
+            return self._residuals_dg(params, x)
+        return self._residuals_gc(params, x)
+
+    def _static_fields(self, x: Array):
+        """Unnormalized porosity/permeability pads + well grids + metrics."""
+        kx_c = self._denorm_permx(x[:, 0, :, :, 4])            # (B, H, W)
+        phi_c = jnp.full_like(kx_c, self.phi0)
+        kxp = pad_symmetric(kx_c)
+        k = neighbors(kxp)
+        dv = self.dx * self.dy * self.dz
+        kx_ih, kx_i_h, ky_jh, ky_j_h = harmonic_faces(k)
+        cf = 97.32e-6 / (1.0 + 55.8721 * phi_c**1.428586)      # rock compress (ref :64)
+        return kx_c, phi_c, k, dv, (kx_ih, kx_i_h, ky_jh, ky_j_h), cf
+
+    def _residuals_dg(self, params, x: Array) -> Dict[str, Any]:
+        """Dry-gas residual (ref physics_loss.py:79-227)."""
+        C, D = self.C, self.D
+        kx_c, phi_c, _, dv, kfaces, cf = self._static_fields(x)
+        kx_ih, kx_i_h, ky_jh, ky_j_h = kfaces
+        q_well = jnp.asarray(self.q_well_idx)
+
+        # ---- forward #1 at tn0 --------------------------------------------
+        p0f, dt0f, pvt0, _ = self._forward(params, x)
+        tstep = jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)   # (B,1,1,1,1)
+        dt_norm = self._norm_dt(tstep)
+
+        # ---- forward #2 at tn1 = tn0 + Δt ---------------------------------
+        x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
+        p1f, dt1f, pvt1, _ = self._forward(params, x1)
+        tstep2 = jnp.mean(dt1f, axis=(1, 2, 3), keepdims=True)
+
+        # well rates/BHP at n1 (ref :168 uses fac_n1)
+        well = self.models["well_rate_bhp_model"]
+        pvt_fn = lambda p: self.models["pvt_model"].apply(params["pvt_model"], p)  # noqa: E731
+        q1, pwf1 = well.compute_rates_and_bhp(x1, p1f, None, relperm_model=self.relperm,
+                                              model_PVT=pvt_fn)
+
+        # ---- squeeze and pad ----------------------------------------------
+        sq = self._sq
+        p0, p1 = sq(p0f), sq(p1f)
+        invBg0, invug0 = sq(pvt0[0, 0]), sq(pvt0[0, 1])
+        dinvBg0 = sq(pvt0[1, 0])
+        invBg1, invug1 = sq(pvt1[0, 0]), sq(pvt1[0, 1])
+        q1c = sq(q1)
+        t1 = tstep[:, 0, :, :, 0]                              # (B,1,1)
+        t2 = tstep2[:, 0, :, :, 0]
+
+        pn = neighbors(pad_symmetric(p1))
+        bgug1 = neighbors(pad_symmetric(invBg1 * invug1))
+        bgug_ih, bgug_i_h, bgug_jh, bgug_j_h = average_faces(bgug1)
+
+        # constant DG relperm at Sgi (ref :129)
+        _, krgo = self.relperm(jnp.asarray(self.Sgi))
+
+        # rock + fluid compressibility term (ref :149-150)
+        cr0 = phi_c * cf * invBg0
+        cp1 = self.Sgi * (phi_c * dinvBg0 + cr0)
+
+        inv_dxx = 1.0 / (self.dx * self.dx)
+        inv_dyy = 1.0 / (self.dy * self.dy)
+        a1 = C * kx_i_h * krgo * bgug_i_h * inv_dxx
+        a2 = C * ky_j_h * krgo * bgug_j_h * inv_dyy
+        a3 = C * kx_ih * krgo * bgug_ih * inv_dxx
+        a4 = C * ky_jh * krgo * bgug_jh * inv_dyy
+        a5 = (1.0 / D) * (cp1 / t1)
+
+        # extrapolated p at n2 and Richardson truncation error (ref :126,:171)
+        p2 = (p1 - p0) * (1.0 + t2 / jnp.maximum(t1, 1e-12)) + p0
+        trn_err = (dv / D) * cp1 * (
+            2.0 * EPSILON / t1
+            + (t2 * p0 + t1 * p2 - (t1 + t2) * p1) / (t1 * t2 + t2**2))
+
+        dom_divq = five_point_divergence(a3, a1, a4, a2, pn, q1c / dv, dv)
+        dom_acc = dv * a5 * (p1 - p0)
+        dom = dom_divq + dom_acc                     # tde kept separate
+        ibc = q_well * dom_divq                      # (ref :189)
+
+        # tank material balance (ref :193)
+        mbc = (-jnp.sum(q1c, axis=(1, 2))
+               - jnp.sum(dv * self.Sgi * phi_c * (invBg1 - invBg0)
+                         / (D * t1), axis=(1, 2)))
+
+        zeros = jnp.zeros_like(dom)
+        return {
+            "gas": {
+                "dom": dom, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                "mbc": mbc, "cmbc": zeros, "tde": trn_err,
+            },
+            "outputs": {"p_n0": p0f, "p_n1": p1f, "tstep": tstep, "q": q1, "pwf": pwf1},
+        }
+
+    def _residuals_gc(self, params, x: Array) -> Dict[str, Any]:
+        """Gas-condensate two-phase residual (ref physics_loss.py:319-693).
+
+        Model 1S predicts Sg; So is closed as (1 - Swmin - Sg) in the absence
+        of water (the reference's missing class stacked [p, Sg, So, ...]).
+        """
+        C, D = self.C, self.D
+        kx_c, phi_c, _, dv, kfaces, cf = self._static_fields(x)
+        kx_ih, kx_i_h, ky_jh, ky_j_h = kfaces
+        q_well = jnp.asarray(self.q_well_idx)
+        sq = self._sq
+
+        # ---- forward #1 ----------------------------------------------------
+        p0f, dt0f, pvt0, Sg0f = self._forward(params, x)
+        tstep = jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)
+        dt_norm = self._norm_dt(tstep)
+        x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
+        p1f, dt1f, pvt1, Sg1f = self._forward(params, x1)
+        tstep2 = jnp.mean(dt1f, axis=(1, 2, 3), keepdims=True)
+
+        well = self.models["well_rate_bhp_model"]
+        pvt_fn = lambda p: self.models["pvt_model"].apply(params["pvt_model"], p)  # noqa: E731
+        (qfg1, qdg1, qfo1, qvo1), pwf1 = well.compute_rates_and_bhp(
+            x1, p1f, Sg1f, relperm_model=self.relperm, model_PVT=pvt_fn)
+
+        p0, p1 = sq(p0f), sq(p1f)
+        Sg0, Sg1 = sq(Sg0f), sq(Sg1f)
+        So0 = 1.0 - self.Swmin - Sg0
+        So1 = 1.0 - self.Swmin - Sg1
+        t1 = tstep[:, 0, :, :, 0]
+        t2 = tstep2[:, 0, :, :, 0]
+
+        # PVT values at n0/n1: rows (invBg, invBo, invug, invuo, Rs, Rv, Vro)
+        def props(pvt):
+            return tuple(sq(pvt[0, i]) for i in range(6))
+
+        invBg0, invBo0, invug0, invuo0, Rs0, Rv0 = props(pvt0)
+        invBg1, invBo1, invug1, invuo1, Rs1, Rv1 = props(pvt1)
+        dinvBg0, dinvBo0 = sq(pvt0[1, 0]), sq(pvt0[1, 1])
+        dRs0, dRv0 = sq(pvt0[1, 4]), sq(pvt0[1, 5])
+
+        # surface-mass accumulations m_g, m_o (ref :419-427)
+        RsinvBo0, RvinvBg0 = Rs0 * invBo0, Rv0 * invBg0
+        RsinvBo1, RvinvBg1 = Rs1 * invBo1, Rv1 * invBg1
+        mg0 = phi_c * (invBg0 * Sg0 + RsinvBo0 * So0)
+        mo0 = phi_c * (invBo0 * So0 + RvinvBg0 * Sg0)
+        mg1 = phi_c * (invBg1 * Sg1 + RsinvBo1 * So1)
+        mo1 = phi_c * (invBo1 * So1 + RvinvBg1 * Sg1)
+        ratio = 1.0 + t2 / jnp.maximum(t1, 1e-12)
+        mg2 = (mg1 - mg0) * ratio + mg0
+        mo2 = (mo1 - mo0) * ratio + mo0
+
+        # per-phase Richardson truncation errors (ref :433-436)
+        rte = EPSILON * 0.25
+        denom_t = t1 * t2 + t2**2
+        trn_g = (dv / D) * (rte / t1 + (t2 * mg0 + t1 * mg2 - (t1 + t2) * mg1) / denom_t)
+        trn_o = (dv / D) * (rte / t1 + (t2 * mo0 + t1 * mo2 - (t1 + t2) * mo1) / denom_t)
+
+        # relperm at n1 + upstream weighting (ref :453-551)
+        krog1_full, krgo1_full = self.relperm(Sg1)
+        krn_go = neighbors(pad_symmetric(krgo1_full))
+        krn_og = neighbors(pad_symmetric(krog1_full))
+        pn = neighbors(pad_symmetric(p1))
+        krgo_ih, krgo_i_h, krgo_jh, krgo_j_h = upstream_faces(krn_go, pn)
+        krog_ih, krog_i_h, krog_jh, krog_j_h = upstream_faces(krn_og, pn)
+
+        # face-averaged fluid-property products (ref :517-525)
+        def favg(f):
+            return average_faces(neighbors(pad_symmetric(f)))
+
+        bgug_ih, bgug_i_h, bgug_jh, bgug_j_h = favg(invBg1 * invug1)
+        bouo_ih, bouo_i_h, bouo_jh, bouo_j_h = favg(invBo1 * invuo1)
+        rvbgug_ih, rvbgug_i_h, rvbgug_jh, rvbgug_j_h = favg(Rv1 * invBg1 * invug1)
+        rsbouo_ih, rsbouo_i_h, rsbouo_jh, rsbouo_j_h = favg(Rs1 * invBo1 * invuo1)
+
+        # chord-slope saturation derivatives (ref :465-468)
+        dp = p1 - p0
+        safe_dp = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
+        d_Sg = jnp.where(jnp.abs(dp) > 0, (Sg1 - Sg0) / safe_dp, 0.0)
+        d_So = jnp.where(jnp.abs(dp) > 0, (So1 - So0) / safe_dp, 0.0)
+
+        # derivative products at n0 (ref :506-514)
+        d_invBg = dinvBg0
+        d_invBo = dinvBo0
+        d_RsinvBo = Rs0 * dinvBo0 + invBo0 * dRs0
+        d_RvinvBg = Rv0 * dinvBg0 + invBg0 * dRv0
+
+        # rock-compressibility products (ref :556-560)
+        cprgg = phi_c * cf * invBg0
+        cprgo = phi_c * cf * RsinvBo0
+        cproo = phi_c * cf * invBo0
+        cprog = phi_c * cf * RvinvBg0
+
+        inv_dxx = 1.0 / (self.dx * self.dx)
+        inv_dyy = 1.0 / (self.dy * self.dy)
+
+        def trans(kr_faces, prop_faces):
+            (kr_ih, kr_i_h, kr_jh, kr_j_h) = kr_faces
+            (pr_ih, pr_i_h, pr_jh, pr_j_h) = prop_faces
+            a_ih = C * kx_ih * kr_ih * pr_ih * inv_dxx
+            a_i_h = C * kx_i_h * kr_i_h * pr_i_h * inv_dxx
+            a_jh = C * ky_jh * kr_jh * pr_jh * inv_dyy
+            a_j_h = C * ky_j_h * kr_j_h * pr_j_h * inv_dyy
+            return a_ih, a_i_h, a_jh, a_j_h
+
+        agg = trans((krgo_ih, krgo_i_h, krgo_jh, krgo_j_h), (bgug_ih, bgug_i_h, bgug_jh, bgug_j_h))
+        ago = trans((krog_ih, krog_i_h, krog_jh, krog_j_h), (rsbouo_ih, rsbouo_i_h, rsbouo_jh, rsbouo_j_h))
+        aoo = trans((krog_ih, krog_i_h, krog_jh, krog_j_h), (bouo_ih, bouo_i_h, bouo_jh, bouo_j_h))
+        aog = trans((krgo_ih, krgo_i_h, krgo_jh, krgo_j_h), (rvbgug_ih, rvbgug_i_h, rvbgug_jh, rvbgug_j_h))
+
+        # accumulation coefficients (ref :572-586)
+        inv_Dt = 1.0 / (D * t1)
+        cpgg = inv_Dt * (phi_c * invBg1 * d_Sg + Sg0 * (phi_c * d_invBg + cprgg)) * dp
+        cpgo = inv_Dt * (phi_c * RsinvBo1 * d_So + So0 * (phi_c * d_RsinvBo + cprgo)) * dp
+        cpoo = inv_Dt * (phi_c * invBo1 * d_So + So0 * (phi_c * d_invBo + cproo)) * dp
+        cpog = inv_Dt * (phi_c * RvinvBg1 * d_Sg + Sg0 * (phi_c * d_RvinvBg + cprog)) * dp
+
+        qfg1c, qdg1c = sq(qfg1), sq(qdg1)
+        qfo1c, qvo1c = sq(qfo1), sq(qvo1)
+
+        dom_divq_gg = five_point_divergence(agg[0], agg[1], agg[2], agg[3], pn, qfg1c / dv, dv)
+        dom_divq_go = five_point_divergence(ago[0], ago[1], ago[2], ago[3], pn, qdg1c / dv, dv)
+        dom_divq_oo = five_point_divergence(aoo[0], aoo[1], aoo[2], aoo[3], pn, qfo1c / dv, dv)
+        dom_divq_og = five_point_divergence(aog[0], aog[1], aog[2], aog[3], pn, qvo1c / dv, dv)
+
+        dom_g = (dom_divq_gg + dv * cpgg) + (dom_divq_go + dv * cpgo)
+        dom_o = (dom_divq_oo + dv * cpoo) + (dom_divq_og + dv * cpog)
+        ibc = q_well * ((dom_divq_gg + dom_divq_go) + (dom_divq_oo + dom_divq_og))
+
+        # per-phase tank material balance (ref :655-665)
+        mbc_gg = dv * inv_Dt * phi_c * (Sg1 * invBg1 - Sg0 * invBg0)
+        mbc_go = dv * inv_Dt * phi_c * (So1 * RsinvBo1 - So0 * RsinvBo0)
+        mbc_oo = dv * inv_Dt * phi_c * (So1 * invBo1 - So0 * invBo0)
+        mbc_og = dv * inv_Dt * phi_c * (Sg1 * RvinvBg1 - Sg0 * RvinvBg0)
+        mbc_g = (-jnp.sum(qfg1c + qdg1c, axis=(1, 2))
+                 - jnp.sum(mbc_gg + mbc_go, axis=(1, 2)))
+        mbc_o = (-jnp.sum(qfo1c + qvo1c, axis=(1, 2))
+                 - jnp.sum(mbc_oo + mbc_og, axis=(1, 2)))
+
+        zeros = jnp.zeros_like(dom_g)
+        out = {"p_n0": p0f, "p_n1": p1f, "Sg_n0": Sg0f, "Sg_n1": Sg1f,
+               "tstep": tstep, "q": (qfg1, qdg1, qfo1, qvo1), "pwf": pwf1}
+        return {
+            "gas": {"dom": dom_g, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                    "mbc": mbc_g, "cmbc": zeros, "tde": trn_g},
+            "oil": {"dom": dom_o, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                    "mbc": mbc_o, "cmbc": zeros, "tde": trn_o},
+            "outputs": out,
+        }
+
+    # ------------------------------------------------------------------
+    # loss + gradients (ref pinn_batch_sse_grad, physics_loss.py:742-870)
+    # ------------------------------------------------------------------
+    def _label_list(self, y) -> List[Array]:
+        if isinstance(y, dict):
+            keys = ["PRESSURE"] if self.fluid_type == "DG" else ["PRESSURE", "SGAS"]
+            return [y[k] for k in keys if k in y]
+        return [y]
+
+    def loss_and_metrics(self, params, x: Array, y) -> Tuple[Array, Dict]:
+        """Total weighted SSE + per-term aux (pure function; jit-safe)."""
+        physics = self.physics_mode_fraction >= 1.0
+        phases = ("gas",) if self.fluid_type == "DG" else ("gas", "oil")
+
+        if physics or self.physics_mode_fraction > 0.0:
+            res = self.residuals(params, x)
+        else:
+            # data-only mode: single forward, zero physics residuals
+            p0f, dt0f, _, Sg0f = self._forward(params, x)
+            zeros = jnp.zeros_like(self._sq(p0f))
+            res = {ph: {t: zeros for t in LOSS_TERMS if t != "td"} for ph in phases}
+            res["outputs"] = {"p_n0": p0f, "p_n1": p0f,
+                              "tstep": jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)}
+            if self.fluid_type == "GC":
+                res["outputs"]["Sg_n0"] = Sg0f
+
+        # training-data term
+        labels = self._label_list(y)
+        model_out = [res["outputs"]["p_n0"]]
+        if self.fluid_type == "GC":
+            model_out.append(res["outputs"]["Sg_n0"])
+        td_terms = []
+        for lab, out in zip(labels, model_out):
+            lab = jnp.reshape(lab, out.shape)
+            td_terms.append(out - lab)
+
+        total = jnp.asarray(0.0, jnp.float32)
+        aux: Dict[str, Dict[str, Array]] = {ph: {} for ph in phases}
+        for pi, ph in enumerate(phases):
+            for t in LOSS_TERMS:
+                if t == "td":
+                    err = td_terms[pi] if pi < len(td_terms) else jnp.zeros(())
+                    w = self.weights[ph][t]
+                    if not physics and w == 0.0:
+                        # data-only mode must train on something: default the
+                        # td weight to 1 when the physics-mode default (0)
+                        # would zero the entire loss
+                        w = 1.0
+                else:
+                    err = res[ph][t]
+                    w = self.weights[ph][t]
+                sse = jnp.sum(jnp.square(err))
+                count = jnp.asarray(np.prod(err.shape) if err.ndim else 1, jnp.float32)
+                wsse = w * sse
+                total = total + wsse
+                aux[ph][t] = wsse / jnp.maximum(count, 1.0)
+        aux["outputs"] = res["outputs"]
+        return total, aux
+
+    def pinn_batch_sse_grad(self, params, x: Array, y):
+        """(wmse, grads-per-optimizer-key, wsse_total, error_counts, y_model)
+        — the contract the training loop consumes (ref training.py:603-652).
+        """
+        (total, aux), grads = jax.value_and_grad(self.loss_and_metrics, has_aux=True)(
+            params, x, y)
+        grads_by_key = {k: grads[self.logical_name(k)] for k in self.trainable_models_keys}
+        return aux, grads_by_key, total
+
+    def logical_name(self, optimizer_key: str) -> str:
+        mapping = {"pressure": "pressure", "time_step": "time_step",
+                   "fluid_property": "pvt_model", "well_rate_bhp": "well_rate_bhp_model",
+                   "saturation": "saturation_model"}
+        return mapping[optimizer_key]

@@ -154,6 +154,7 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
                     rng: Optional[jax.Array] = None,
                     general_config: Optional[Dict] = None,
                     reservoir_config: Optional[Dict] = None,
+                    wells_config: Optional[Dict] = None,
                     data_summary=None):
     """Build all models + params (ref build_model_map, :268-323).
 
@@ -189,7 +190,8 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     pvt_fn = lambda p: pvt.apply(params["pvt_model"], p)  # noqa: E731
     models["well_rate_bhp_model"] = WellRatesPressure(
         fluid_type=fluid_type, data_summary=data_summary, pvt_fn=pvt_fn,
-        general_config=g, reservoir_config=reservoir_config)
+        general_config=g, reservoir_config=reservoir_config,
+        wells_config=wells_config)
     params["well_rate_bhp_model"] = {}
 
     if fluid_type == "GC":

@@ -1,0 +1,8 @@
+from srm_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    replicate,
+    pad_to_multiple,
+)
