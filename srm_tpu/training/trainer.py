@@ -43,6 +43,9 @@ class Trainer:
                  mesh=None, donate_params: bool = True):
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else make_mesh()
+        # private copy: the jitted step donates its param buffers, and
+        # device_put may alias the caller's arrays when shardings match
+        params = jax.tree_util.tree_map(jnp.array, params)
         self.params = replicate(params, self.mesh)
 
         # per-optimizer-key optax transforms over the matching model params
@@ -59,6 +62,9 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1) if donate_params else ())
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._train_epoch = jax.jit(self._train_epoch_impl,
+                                    donate_argnums=(0, 1) if donate_params else ())
+        self._eval_epoch = jax.jit(self._eval_epoch_impl)
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, params, opt_state, x, y):
@@ -82,6 +88,27 @@ class Trainer:
         metrics["total"] = total
         return metrics
 
+    def _train_epoch_impl(self, params, opt_state, xs, ys):
+        """lax.scan the train step over a whole epoch of batches — ONE device
+        dispatch per epoch instead of one per step (per-step launches through
+        the host dominate wall-clock for grids this small)."""
+        def body(carry, batch):
+            p, s = carry
+            x, y = batch
+            p, s, metrics = self._train_step_impl(p, s, x, y)
+            return (p, s), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), (xs, ys))
+        return params, opt_state, metrics
+
+    def _eval_epoch_impl(self, params, xs, ys):
+        def body(_, batch):
+            x, y = batch
+            return None, self._eval_step_impl(params, x, y)
+
+        _, metrics = jax.lax.scan(body, None, (xs, ys))
+        return metrics
+
     # ------------------------------------------------------------------
     def train_step(self, x, y):
         x = shard_batch(jnp.asarray(x), self.mesh)
@@ -94,6 +121,26 @@ class Trainer:
         x = shard_batch(jnp.asarray(x), self.mesh)
         y = jax.tree_util.tree_map(lambda a: shard_batch(jnp.asarray(a), self.mesh), y)
         return self._eval_step(self.params, x, y)
+
+    def _shard_epoch(self, tree):
+        """(num_batches, B, ...) host arrays → device, batch axis (1) sharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        return jax.tree_util.tree_map(lambda a: jax.device_put(jnp.asarray(a), sh), tree)
+
+    def train_epoch(self, x_batches, y_batches):
+        """Run all (num_batches, B, ...) batches in one device call; returns
+        per-step-stacked metrics."""
+        xs = self._shard_epoch(x_batches)
+        ys = self._shard_epoch(y_batches)
+        self.params, self.opt_state, metrics = self._train_epoch(
+            self.params, self.opt_state, xs, ys)
+        return metrics
+
+    def eval_epoch(self, x_batches, y_batches):
+        xs = self._shard_epoch(x_batches)
+        ys = self._shard_epoch(y_batches)
+        return self._eval_epoch(self.params, xs, ys)
 
 
 def train_combined_models_unified(
@@ -134,18 +181,16 @@ def train_combined_models_unified(
 
     for epoch in range(epochs):
         t0 = time.time()
-        sums = {ph: {key: 0.0 for key in loss_keys[ph]} for ph in loss_keys}
         nsteps = len(train_ds)
-        for step in range(nsteps):
-            x, y = train_ds[step]
-            metrics = trainer.train_step(x, y)
-            for ph in loss_keys:
-                for key, term in zip(loss_keys[ph], term_names[ph]):
-                    sums[ph][key] += float(metrics[ph][term])
-        train_ds.on_epoch_end()
         if nsteps == 0:
             continue
-        avg_train = {ph: {k: v / nsteps for k, v in sums[ph].items()} for ph in sums}
+        xb, yb = train_ds.epoch_batches()     # (num_batches, B, ...)
+        metrics = trainer.train_epoch(xb, yb)  # one device call per epoch
+        metrics = jax.device_get(metrics)      # single host sync
+        train_ds.on_epoch_end()
+        avg_train = {ph: {key: float(np.mean(metrics[ph][term]))
+                          for key, term in zip(loss_keys[ph], term_names[ph])}
+                     for ph in loss_keys}
         epoch_ms = (time.time() - t0) * 1000.0
         history["epoch_times"].append(epoch_ms)
         for ph in loss_keys:
@@ -175,15 +220,11 @@ def train_combined_models_unified(
 
         # validation (loss only; ref :720-804)
         if len(val_ds) > 0:
-            vsums = {ph: {key: 0.0 for key in loss_keys[ph]} for ph in loss_keys}
-            for step in range(len(val_ds)):
-                x, y = val_ds[step]
-                metrics = trainer.eval_step(x, y)
-                for ph in loss_keys:
-                    for key, term in zip(loss_keys[ph], term_names[ph]):
-                        vsums[ph][key] += float(metrics[ph][term])
-            avg_val = {ph: {k: v / len(val_ds) for k, v in vsums[ph].items()}
-                       for ph in vsums}
+            vxb, vyb = val_ds.epoch_batches()
+            vmetrics = jax.device_get(trainer.eval_epoch(vxb, vyb))
+            avg_val = {ph: {key: float(np.mean(vmetrics[ph][term]))
+                            for key, term in zip(loss_keys[ph], term_names[ph])}
+                       for ph in loss_keys}
             for ph in loss_keys:
                 for key in loss_keys[ph]:
                     history["val"][ph][key].append(avg_val[ph][key])

@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent compilation cache: the physics-loss gradient graph is large and
+# CPU compiles are slow; cache across test sessions.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 @pytest.fixture(scope="session")
 def rng():
