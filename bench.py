@@ -49,20 +49,18 @@ def measure_steps_per_sec(batch: int = BATCH, warmup: int = WARMUP,
     case = setup_dry_gas_case(base_dir=base)
     trainer = Trainer(case["loss_fn"], case["params"])
 
-    ds = BatchGenerator(case["train_groups"], batch_size=batch, seed=0)
-    xb, yb = ds.epoch_batches()
-    nb = min(steps, xb.shape[0])
-    xb = xb[:nb]
-    yb = {k: v[:nb] for k, v in yb.items()}
+    # dataset uploaded to HBM once; epochs shuffle/batch on device
+    nb, _ = trainer.stage_dataset("train", case["train_groups"], batch)
+    key = jax.random.PRNGKey(0)
 
-    for _ in range(warmup):
-        m = trainer.train_epoch(xb, yb)
+    for i in range(warmup):
+        m = trainer.train_epoch_resident("train", jax.random.fold_in(key, i))
     jax.block_until_ready(m["total"])
 
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        m = trainer.train_epoch(xb, yb)
+    for i in range(reps):
+        m = trainer.train_epoch_resident("train", jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(m["total"])
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(m["total"])).all(), "non-finite loss in benchmark"

@@ -65,6 +65,12 @@ class Trainer:
         self._train_epoch = jax.jit(self._train_epoch_impl,
                                     donate_argnums=(0, 1) if donate_params else ())
         self._eval_epoch = jax.jit(self._eval_epoch_impl)
+        self._train_epoch_resident = jax.jit(
+            self._train_epoch_resident_impl, static_argnums=(4,),
+            donate_argnums=(0, 1) if donate_params else ())
+        self._eval_epoch_resident = jax.jit(self._eval_epoch_resident_impl,
+                                            static_argnums=(3,))
+        self._resident: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
     def _train_step_impl(self, params, opt_state, x, y):
@@ -108,6 +114,72 @@ class Trainer:
 
         _, metrics = jax.lax.scan(body, None, (xs, ys))
         return metrics
+
+    # -- HBM-resident dataset path -------------------------------------------
+    # The dataset lives on device permanently; each epoch draws a fresh
+    # device-side permutation and gathers batches inside the scan. Per-epoch
+    # host→device traffic: one PRNG key. (Essential under remote-attached
+    # TPUs where the host link is slow; also optimal locally.)
+    def _gather_batch(self, data, idx):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        take = lambda a: jax.lax.with_sharding_constraint(a[idx], sh)  # noqa: E731
+        return jax.tree_util.tree_map(take, data)
+
+    def _train_epoch_resident_impl(self, params, opt_state, key, data, nb):
+        x_all, y_all = data
+        N = x_all.shape[0]
+        B = (N // nb)
+        perm = jax.random.permutation(key, N)[: nb * B].reshape(nb, B)
+
+        def body(carry, idx):
+            p, s = carry
+            x = self._gather_batch(x_all, idx)
+            y = self._gather_batch(y_all, idx)
+            p, s, metrics = self._train_step_impl(p, s, x, y)
+            return (p, s), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), perm)
+        return params, opt_state, metrics
+
+    def _eval_epoch_resident_impl(self, params, key, data, nb):
+        x_all, y_all = data
+        N = x_all.shape[0]
+        B = N // nb
+        perm = jnp.arange(nb * B).reshape(nb, B)
+
+        def body(_, idx):
+            x = self._gather_batch(x_all, idx)
+            y = self._gather_batch(y_all, idx)
+            return None, self._eval_step_impl(params, x, y)
+
+        _, metrics = jax.lax.scan(body, None, perm)
+        return metrics
+
+    def stage_dataset(self, name: str, groups, batch_size: int):
+        """Collapse (K, T) groups and upload once to device (replicated).
+        Returns (num_batches, num_samples)."""
+        from srm_tpu.data.batching import BatchGenerator
+        ds = BatchGenerator(groups, batch_size=batch_size, shuffle=False)
+        if ds.N == 0:
+            self._resident[name] = None
+            return 0, 0
+        x_all = replicate(jnp.asarray(ds.x_all), self.mesh)
+        y_all = replicate(jax.tree_util.tree_map(jnp.asarray, ds.y_all), self.mesh)
+        nb = ds.N // batch_size
+        self._resident[name] = (x_all, y_all, nb, ds.N)
+        return nb, ds.N
+
+    def train_epoch_resident(self, name: str, key):
+        x_all, y_all, nb, _ = self._resident[name]
+        self.params, self.opt_state, metrics = self._train_epoch_resident(
+            self.params, self.opt_state, key, (x_all, y_all), nb)
+        return metrics
+
+    def eval_epoch_resident(self, name: str):
+        x_all, y_all, nb, _ = self._resident[name]
+        return self._eval_epoch_resident(self.params, jax.random.PRNGKey(0),
+                                         (x_all, y_all), nb)
 
     # ------------------------------------------------------------------
     def train_step(self, x, y):
@@ -160,10 +232,12 @@ def train_combined_models_unified(
     training_batch_size = training_batch_size or g["training_batch_size"]
     testing_batch_size = testing_batch_size or g["testing_batch_size"]
 
-    train_ds = BatchGenerator(train_groups, batch_size=training_batch_size, seed=seed)
-    val_ds = BatchGenerator(val_groups, batch_size=testing_batch_size, seed=seed)
-
     trainer = Trainer(loss_fn, params, mesh=mesh)
+    # one-time dataset upload: everything stays HBM-resident; epochs shuffle
+    # and batch on device
+    n_train_batches, _ = trainer.stage_dataset("train", train_groups, training_batch_size)
+    n_val_batches, _ = trainer.stage_dataset("val", val_groups, testing_batch_size)
+    rng = jax.random.PRNGKey(seed)
     loss_keys = loss_fn.loss_keys
     term_names = {ph: [k.rsplit("_", 1)[0] for k in keys] for ph, keys in loss_keys.items()}
 
@@ -181,15 +255,14 @@ def train_combined_models_unified(
 
     for epoch in range(epochs):
         t0 = time.time()
-        nsteps = len(train_ds)
+        nsteps = n_train_batches
         if nsteps == 0:
             continue
-        xb, yb = train_ds.epoch_batches()     # (num_batches, B, ...)
-        metrics = trainer.train_epoch(xb, yb)  # one device call per epoch
-        metrics = jax.device_get(metrics)      # single host sync
-        train_ds.on_epoch_end()
-        avg_train = {ph: {key: float(np.mean(metrics[ph][term]))
-                          for key, term in zip(loss_keys[ph], term_names[ph])}
+        rng, key = jax.random.split(rng)
+        metrics = trainer.train_epoch_resident("train", key)  # one dispatch/epoch
+        metrics = jax.device_get(metrics)                     # single host sync
+        avg_train = {ph: {key_: float(np.mean(metrics[ph][term]))
+                          for key_, term in zip(loss_keys[ph], term_names[ph])}
                      for ph in loss_keys}
         epoch_ms = (time.time() - t0) * 1000.0
         history["epoch_times"].append(epoch_ms)
@@ -219,9 +292,8 @@ def train_combined_models_unified(
                  "losses": {ph: dict(avg_train[ph]) for ph in loss_keys}})
 
         # validation (loss only; ref :720-804)
-        if len(val_ds) > 0:
-            vxb, vyb = val_ds.epoch_batches()
-            vmetrics = jax.device_get(trainer.eval_epoch(vxb, vyb))
+        if n_val_batches > 0:
+            vmetrics = jax.device_get(trainer.eval_epoch_resident("val"))
             avg_val = {ph: {key: float(np.mean(vmetrics[ph][term]))
                             for key, term in zip(loss_keys[ph], term_names[ph])}
                        for ph in loss_keys}

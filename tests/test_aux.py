@@ -1,0 +1,152 @@
+"""Auxiliary-subsystem tests: Eclipse parsers, optimizers, checkpointing,
+plotting, timestep diagnostics."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from srm_tpu.data.pipeline import (
+    parse_tabular_file, parse_continuous_file, reshape_array, convert_target_spec,
+    stack_realizations, save_results,
+)
+from srm_tpu.training.optimizers import build_optimizer_from_config
+from srm_tpu.config import get_optimizer_config
+
+
+# --------------------------------------------------------------------------
+# Eclipse-style parsers (ref simulation_data_process_pipeline.py:148-291)
+# --------------------------------------------------------------------------
+RSM_SAMPLE = """SUMMARY OF RUN
+\tTIME\tWGPR\tWBHP
+\tDAYS\tMSCF/DAY\tPSIA
+\t\tP1\tP1
+\t1.0\t500.0\t4500.0
+\t2.0\t480.0\t4450.0
+
+"""
+
+FUNRST_SAMPLE = """'PRESSURE'
+ 5000.0 4999.0 4998.0 4997.0
+'SGAS'
+ 0.78 0.78 0.77 0.76
+'PRESSURE'
+ 4900.0 4890.0 4880.0 4870.0
+"""
+
+
+def test_parse_tabular():
+    out = parse_tabular_file(RSM_SAMPLE, [["TIME"], "WGPR", "WBHP"])
+    np.testing.assert_allclose(out["TIME"], [1.0, 2.0])
+    np.testing.assert_allclose(out["WGPR"], [500.0, 480.0])
+    np.testing.assert_allclose(out["WBHP"], [4500.0, 4450.0])
+
+
+def test_parse_continuous():
+    out = parse_continuous_file(FUNRST_SAMPLE, ["PRESSURE", "SGAS"])
+    assert len(out["PRESSURE"]) == 2
+    np.testing.assert_allclose(out["PRESSURE"][0], [5000, 4999, 4998, 4997])
+    np.testing.assert_allclose(out["SGAS"][0], [0.78, 0.78, 0.77, 0.76])
+
+
+def test_reshape_array_fortran():
+    arr = np.arange(12.0)
+    out = reshape_array(arr, (3, 4))
+    assert out.shape == (3, 4)
+    # Fortran order: first axis fastest
+    assert out[1, 0] == 1.0 and out[0, 1] == 3.0
+
+
+def test_convert_target_spec_compound():
+    spec = convert_target_spec([["TIME"], ["WOPR", "15 15 1"], "WGPR"])
+    assert spec["TIME"] == ["TIME"]
+    assert "15 15 1" in spec["WOPR"]
+    assert spec["WGPR"] == ["WGPR"]
+
+
+def test_stack_and_save(tmp_path):
+    per_file = {
+        "r1.FUNRST": {"PRESSURE": np.ones((2, 3, 3))},
+        "r0.FUNRST": {"PRESSURE": np.zeros((2, 3, 3))},
+    }
+    stacked = stack_realizations(per_file)
+    assert stacked["PRESSURE"].shape == (2, 2, 3, 3)
+    # sorted by filename: r0 first
+    assert stacked["PRESSURE"][0].sum() == 0
+    path = save_results(stacked, str(tmp_path))
+    assert os.path.isfile(path)
+    assert os.path.isfile(os.path.join(str(tmp_path), "summary.json"))
+
+
+# --------------------------------------------------------------------------
+# Optimizers (ref training.py:282-364)
+# --------------------------------------------------------------------------
+def test_optimizer_configs_build_and_step():
+    for role in ["pressure", "time_step", "fluid_property", "saturation"]:
+        opt = build_optimizer_from_config(get_optimizer_config(role))
+        params = {"w": jnp.ones((3, 3))}
+        state = opt.init(params)
+        grads = {"w": jnp.ones((3, 3))}
+        updates, state = opt.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all()
+        assert not np.allclose(np.asarray(new["w"]), 1.0)
+
+
+def test_lr_decay_schedule_applied():
+    cfg = get_optimizer_config("pressure")  # lr decay enabled, steps=25, rate=0.9
+    opt = build_optimizer_from_config(cfg)
+    params = {"w": jnp.ones(4)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(4)}
+    # step sizes should shrink over time due to the exponential lr decay
+    p = params
+    deltas = []
+    for i in range(50):
+        updates, state = opt.update(g, state, p)
+        deltas.append(float(jnp.abs(updates["w"]).mean()))
+        p = optax.apply_updates(p, updates)
+    assert deltas[-1] < deltas[1]
+
+
+# --------------------------------------------------------------------------
+# Checkpointing (new capability; SURVEY §5.4)
+# --------------------------------------------------------------------------
+def test_checkpoint_roundtrip(tmp_path):
+    from srm_tpu.utils.checkpoint import CheckpointManager
+    params = {"pressure": {"w": jnp.arange(4.0)}}
+    opt_state = {"pressure": {"count": jnp.asarray(3)}}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    assert mgr.save(1, params, opt_state, history={"total_train_loss": [1.0, 0.5]})
+    mgr.wait_until_finished()
+    restored = mgr.restore()
+    assert restored is not None
+    r_params, r_opt, history, step = restored
+    assert step == 1
+    np.testing.assert_allclose(np.asarray(r_params["pressure"]["w"]), [0, 1, 2, 3])
+    mgr.close()
+
+
+# --------------------------------------------------------------------------
+# Timestep diagnostics (ref plot_tools/plot_timestep_log.py)
+# --------------------------------------------------------------------------
+def test_timestep_recorder_and_parser(tmp_path):
+    from srm_tpu.eval.timestep_log import TimestepRecorder, parse_timestep_log, plot_timesteps
+    rec = TimestepRecorder()
+    for i in range(20):
+        rec.record(i, np.random.RandomState(i).uniform(1, 9, 32))
+    s = rec.summary()
+    assert 1.0 <= s["min"] <= s["mean"] <= s["max"] <= 9.0
+
+    logf = tmp_path / "tensor_log.txt"
+    logf.write_text('step 0 values: "1.5 2.5 3.5"\nstep 1 values: "2.0 4.0"\n')
+    rows = parse_timestep_log(str(logf))
+    assert len(rows) == 2
+    np.testing.assert_allclose(rows[0], [1.5, 2.5, 3.5])
+
+    fig = plot_timesteps(rec, save_path=str(tmp_path / "ts.png"))
+    assert os.path.isfile(tmp_path / "ts.png")
