@@ -6,3 +6,5 @@ from srm_tpu.utils.stats import (  # noqa: F401
     normalize_derivative,
     compute_statistics,
 )
+from srm_tpu.utils.profiling import trace, EpochTimer, log_tensor_to_file  # noqa: F401
+
