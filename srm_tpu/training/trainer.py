@@ -73,6 +73,17 @@ class Trainer:
         self._resident: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _scalar_metrics(aux, total):
+        """Keep only scalar metrics: full field outputs (p, q, pwf, ...) must
+        not be stacked across the epoch scan or shipped to the host."""
+        metrics = {ph: dict(terms) for ph, terms in aux.items() if ph != "outputs"}
+        metrics["total"] = total
+        out = aux.get("outputs", {})
+        if "tstep" in out:
+            metrics["tstep_mean"] = jnp.mean(out["tstep"])
+        return metrics
+
     def _train_step_impl(self, params, opt_state, x, y):
         aux, grads, total = self.loss_fn.pinn_batch_sse_grad(params, x, y)
         new_params = dict(params)
@@ -82,17 +93,11 @@ class Trainer:
             updates, new_opt_state[key] = self.optimizers[key].update(
                 grads[key], opt_state[key], params[logical])
             new_params[logical] = optax.apply_updates(params[logical], updates)
-        metrics = {ph: {t: aux[ph][t] for t in aux[ph]}
-                   for ph in self.loss_fn.loss_keys}
-        metrics["total"] = total
-        return new_params, new_opt_state, metrics
+        return new_params, new_opt_state, self._scalar_metrics(aux, total)
 
     def _eval_step_impl(self, params, x, y):
         total, aux = self.loss_fn.loss_and_metrics(params, x, y)
-        metrics = {ph: {t: aux[ph][t] for t in aux[ph]}
-                   for ph in self.loss_fn.loss_keys}
-        metrics["total"] = total
-        return metrics
+        return self._scalar_metrics(aux, total)
 
     def _train_epoch_impl(self, params, opt_state, xs, ys):
         """lax.scan the train step over a whole epoch of batches — ONE device
@@ -245,6 +250,7 @@ def train_combined_models_unified(
         "train": {ph: {key: [] for key in keys} for ph, keys in loss_keys.items()},
         "val": {ph: {key: [] for key in keys} for ph, keys in loss_keys.items()},
         "epoch_times": [], "total_train_loss": [], "total_val_loss": [],
+        "tstep_mean": [],   # adaptive Δt diagnostics (SURVEY §5.1 equivalent)
     }
     model_variables_history: List[Dict] = []
     loss_min_max = {ph: {key: {"min": float("inf"), "max": float("-inf")}
@@ -271,6 +277,8 @@ def train_combined_models_unified(
                 history["train"][ph][key].append(avg_train[ph][key])
         total_train = sum(sum(avg_train[ph].values()) for ph in avg_train)
         history["total_train_loss"].append(total_train)
+        if "tstep_mean" in metrics:
+            history["tstep_mean"].append(float(np.mean(metrics["tstep_mean"])))
         if verbose:
             print(f"Epoch {epoch+1}/{epochs} - loss {total_train:.4f} - {epoch_ms:.0f} ms "
                   f"({nsteps / max(epoch_ms / 1000.0, 1e-9):.2f} steps/s)")
