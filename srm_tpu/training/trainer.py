@@ -144,7 +144,8 @@ class Trainer:
             p, s, metrics = self._train_step_impl(p, s, x, y)
             return (p, s), metrics
 
-        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), perm)
+        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), perm,
+                                                    unroll=4)
         return params, opt_state, metrics
 
     def _eval_epoch_resident_impl(self, params, key, data, nb):
@@ -158,7 +159,7 @@ class Trainer:
             y = self._gather_batch(y_all, idx)
             return None, self._eval_step_impl(params, x, y)
 
-        _, metrics = jax.lax.scan(body, None, perm)
+        _, metrics = jax.lax.scan(body, None, perm, unroll=4)
         return metrics
 
     def stage_dataset(self, name: str, groups, batch_size: int):

@@ -1,0 +1,39 @@
+"""End-to-end unified-training test: the full driver path (resident dataset,
+epoch scan, history bookkeeping, watched-epoch best-restore)."""
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("epochs", [3])
+def test_unified_training_end_to_end(tmp_path, epochs):
+    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    from srm_tpu.training.trainer import train_combined_models_unified
+
+    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=13, n_realizations=8)
+    snaps = []
+
+    params, history, best = train_combined_models_unified(
+        case["train_groups"], case["val_groups"], models=case["models"],
+        params=case["params"], loss_fn=case["loss_fn"],
+        training_batch_size=16, epochs=epochs, verbose=0,
+        general_config=case["general_config"],
+        log_variables_callback=lambda e, v, l: snaps.append(e),
+        log_epoch_percentage=0.67,
+    )
+    # history structure matches the reference contract
+    assert len(history["total_train_loss"]) == epochs
+    assert len(history["epoch_times"]) == epochs
+    assert len(history["train"]["gas"]["dom_g"]) == epochs
+    assert len(history["tstep_mean"]) == epochs
+    assert all(np.isfinite(v) for v in history["total_train_loss"])
+    # Δt stays within the configured bounds
+    assert 0.1 <= history["tstep_mean"][0] <= 10.0
+    # watched epochs fired and best-restore returned variables
+    assert snaps, "watched-epoch callback never fired"
+    assert best is not None and set(best) == {"pressure", "time_step"}
+    # restored params are finite
+    for tree in params.values():
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert np.isfinite(np.asarray(leaf)).all()
