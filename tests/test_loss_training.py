@@ -146,6 +146,25 @@ def test_multi_device_matches_single_device(dg_case):
     assert np.isfinite(float(m_train["total"]))
 
 
+def test_predictor_rollout(dg_case):
+    """SRMPredictor: pressure + rate rollouts over an arbitrary ensemble/time
+    schedule, hard IC preserved at t0."""
+    from srm_tpu.eval.predictor import SRMPredictor
+    proc = dg_case["processor"]
+    pred = SRMPredictor(dg_case["models"], dg_case["params"], dg_case["data_summary"],
+                        general_config=dg_case["general_config"],
+                        reservoir_config=proc.reservoir_config, batch_size=16)
+    permx = proc.generate_kle_splits()["test"][:2]
+    p = pred.predict_pressure(permx, [0.0, 10.0, 50.0])
+    assert p.shape == (2, 3, 1, 13, 13)
+    assert np.isfinite(p).all()
+    # hard initial condition at t=0
+    np.testing.assert_allclose(p[:, 0], 5000.0, rtol=1e-5)
+    q, pwf = pred.predict_rates(permx, [10.0, 50.0])
+    assert q.shape[:2] == (2, 2)
+    assert np.isfinite(np.asarray(q)).all()
+
+
 def test_gc_loss_builds_and_runs(tmp_path):
     """Gas-condensate path: saturation model + two-phase residuals."""
     import copy
