@@ -70,13 +70,98 @@ def measure_steps_per_sec(batch: int = BATCH, warmup: int = WARMUP,
             "cells_per_sec": sps * batch * 39 * 39}
 
 
+def measure_reference_style_cpu(batch: int = BATCH, steps: int = 20) -> dict:
+    """Baseline per BASELINE.md's measurement plan: the reference publishes no
+    numbers, so the baseline is the *reference's execution strategy* run with
+    identical math on the host CPU — an eager Python step loop that
+
+    * gathers each batch host-side and converts it per step,
+    * evaluates ONE compiled loss kernel that takes NINE separate gradient
+      passes (dom/dbc/nbc/ibc/ic/mbc/cmbc/td + batch), exactly like the
+      reference's persistent-tape ``pinn_batch_sse_grad``
+      (physics_loss.py:849-859),
+    * syncs every per-term scalar to Python floats each step
+      (training.py:608-640), and applies per-model optimizer updates in a
+      separate dispatch (training.py:643-652).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from srm_tpu.config import get_optimizer_config
+    from srm_tpu.data.batching import BatchGenerator
+    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    from srm_tpu.training.optimizers import build_optimizer_from_config
+
+    base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
+                          os.path.join(HERE, "_srm_data"))
+    case = setup_dry_gas_case(base_dir=base)
+    loss_fn = case["loss_fn"]
+    params = case["params"]
+    TERMS = ["dom", "dbc", "nbc", "ibc", "ic", "mbc", "cmbc", "tde", "td"]
+
+    def term_sses(p, x, y):
+        _, aux = loss_fn.loss_and_metrics(p, x, y)
+        return {t: aux["gas"][t] for t in TERMS}
+
+    @jax.jit
+    def reference_style_grads(p, x, y):
+        # nine separate backward passes, like the reference's per-term tapes
+        grads = {}
+        sses = None
+        for t in TERMS:
+            def one(pp, t=t):
+                _, aux = loss_fn.loss_and_metrics(pp, x, y)
+                return aux["gas"][t] * 1.0
+            grads[t] = jax.grad(one)(p)
+        def batch_loss(pp):
+            tot, aux = loss_fn.loss_and_metrics(pp, x, y)
+            return tot, aux
+        (tot, aux), batch_grad = jax.value_and_grad(batch_loss, has_aux=True)(p)
+        return tot, {t: aux["gas"][t] for t in TERMS}, batch_grad
+
+    opts = {k: build_optimizer_from_config(get_optimizer_config(k))
+            for k in ("pressure", "time_step")}
+    logical = {"pressure": "pressure", "time_step": "time_step"}
+    opt_state = {k: opts[k].init(params[logical[k]]) for k in opts}
+
+    @jax.jit
+    def apply_updates(p, s, g):
+        out_p = dict(p)
+        out_s = dict(s)
+        for k in ("pressure", "time_step"):
+            upd, out_s[k] = opts[k].update(g[logical[k]], s[k], p[logical[k]])
+            out_p[logical[k]] = optax.apply_updates(p[logical[k]], upd)
+        return out_p, out_s
+
+    ds = BatchGenerator(case["train_groups"], batch_size=batch, seed=0)
+
+    def one_step(i, p, s):
+        x, y = ds[i % len(ds)]                       # host-side gather per step
+        x = jnp.asarray(x)
+        y = {k: jnp.asarray(v) for k, v in y.items()}
+        tot, terms, grad = reference_style_grads(p, x, y)
+        for t in TERMS:
+            float(terms[t])                          # per-term scalar syncs
+        p, s = apply_updates(p, s, grad)
+        return float(tot), p, s
+
+    # warmup/compile
+    _, params, opt_state = one_step(0, params, opt_state)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        tot, params, opt_state = one_step(i + 1, params, opt_state)
+    dt = time.perf_counter() - t0
+    return {"steps_per_sec": steps / dt, "batch": batch}
+
+
 def cpu_baseline() -> float:
     if os.path.isfile(CPU_CACHE):
         with open(CPU_CACHE) as f:
             return json.load(f)["steps_per_sec"]
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     code = (
-        "import json, bench; r = bench.measure_steps_per_sec(steps=10, warmup=2); "
+        "import json, bench; r = bench.measure_reference_style_cpu(); "
         "print('CPU_RESULT ' + json.dumps(r))"
     )
     try:
