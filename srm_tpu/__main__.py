@@ -1,0 +1,123 @@
+"""srm_tpu command-line interface.
+
+    python -m srm_tpu generate-data [--base-dir DIR]
+    python -m srm_tpu train --fluid DG|GC [--epochs N] [--batch-size B]
+                            [--checkpoint-dir DIR] [--resume] [--nx N]
+    python -m srm_tpu predict --times 0,10,50 [--realizations K] [--out FILE]
+    python -m srm_tpu benchmark
+
+(The reference had no CLI at all — its only entry point was running the
+training example script directly; SURVEY §1.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def cmd_generate_data(args):
+    from srm_tpu.data.kle_generator import KLConfig, generate_and_save_realizations
+    cfg = KLConfig.from_reservoir_config()
+    if args.realizations:
+        cfg.n_realizations = args.realizations
+    folder = generate_and_save_realizations(cfg, base_dir=args.base_dir,
+                                            write_dat_files=not args.no_dat)
+    print(f"KLE dataset written to {folder}")
+
+
+def cmd_train(args):
+    if args.fluid.upper() == "GC":
+        from srm_tpu.examples.training_case_gas_condensate import setup_gas_condensate_case as setup
+    else:
+        from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case as setup
+    from srm_tpu.training.trainer import train_combined_models_unified
+
+    case = setup(base_dir=args.base_dir, nx=args.nx,
+                 n_realizations=args.realizations)
+    params, history, best = train_combined_models_unified(
+        case["train_groups"], case["val_groups"], models=case["models"],
+        params=case["params"], loss_fn=case["loss_fn"],
+        training_batch_size=args.batch_size, epochs=args.epochs,
+        general_config=case["general_config"],
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+    print("final total train loss:", history["total_train_loss"][-1])
+    return 0
+
+
+def cmd_predict(args):
+    import numpy as np
+    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    from srm_tpu.eval.predictor import SRMPredictor
+    case = setup_dry_gas_case(base_dir=args.base_dir, nx=args.nx,
+                              n_realizations=args.realizations)
+    if args.checkpoint_dir:
+        from srm_tpu.utils.checkpoint import CheckpointManager
+        mgr = CheckpointManager(args.checkpoint_dir)
+        restored = mgr.restore()
+        if restored is not None:
+            case["params"] = restored[0]
+    pred = SRMPredictor(case["models"], case["params"], case["data_summary"],
+                        general_config=case["general_config"],
+                        reservoir_config=case["processor"].reservoir_config)
+    permx = case["processor"].generate_kle_splits()["test"]
+    if args.max_realizations:
+        permx = permx[: args.max_realizations]
+    times = [float(t) for t in args.times.split(",")]
+    p = pred.predict_pressure(permx, times)
+    print(f"pressure rollout: shape {p.shape}, range "
+          f"[{p.min():.1f}, {p.max():.1f}] psia")
+    if args.out:
+        np.savez_compressed(args.out, pressure=p, times=np.asarray(times))
+        print(f"saved to {args.out}")
+    return 0
+
+
+def cmd_benchmark(args):
+    import bench
+    bench.main()
+    return 0
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(prog="srm_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate-data", help="generate the KLE dataset + Eclipse decks")
+    g.add_argument("--base-dir", default=None)
+    g.add_argument("--realizations", type=int, default=None)
+    g.add_argument("--no-dat", action="store_true")
+    g.set_defaults(fn=cmd_generate_data)
+
+    t = sub.add_parser("train", help="train the SRM")
+    t.add_argument("--fluid", default="DG", choices=["DG", "GC", "dg", "gc"])
+    t.add_argument("--epochs", type=int, default=5)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--base-dir", default=None)
+    t.add_argument("--nx", type=int, default=None)
+    t.add_argument("--realizations", type=int, default=None)
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict", help="pressure rollout with the trained surrogate")
+    p.add_argument("--times", default="0,30,90,180,365")
+    p.add_argument("--base-dir", default=None)
+    p.add_argument("--nx", type=int, default=None)
+    p.add_argument("--realizations", type=int, default=None)
+    p.add_argument("--max-realizations", type=int, default=4)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_predict)
+
+    b = sub.add_parser("benchmark", help="one-line JSON throughput benchmark")
+    b.set_defaults(fn=cmd_benchmark)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

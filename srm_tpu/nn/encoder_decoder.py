@@ -74,6 +74,8 @@ class EncoderDecoderModel(nn.Module):
     latent_activation: Any = None
     extra_conv_layers: int = 2
     extra_dec_conv_layers: int = 2
+    compute_dtype: Optional[str] = None   # e.g. 'bfloat16' for MXU-friendly
+                                          # compute; params stay float32
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "EncoderDecoderModel":
@@ -101,6 +103,7 @@ class EncoderDecoderModel(nn.Module):
             latent_activation=lat.get("Activation"),
             extra_conv_layers=(rp.get("Extra_Conv_Layers", {}) or {}).get("Count", 0),
             extra_dec_conv_layers=(rp.get("Extra_Dec_Conv_Layers", {}) or {}).get("Count", 0),
+            compute_dtype=config.get("compute_dtype"),
         )
 
     def _filters(self) -> list[int]:
@@ -118,6 +121,7 @@ class EncoderDecoderModel(nn.Module):
         filters = self._filters()
         k = self.kernel_size
         nd = self.spatial_dims
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         x, unfold = fold_time(inputs, self.temporal)
         in_channels = x.shape[-1]
@@ -127,13 +131,13 @@ class EncoderDecoderModel(nn.Module):
         skips: Dict[int, Array] = {}
         for i in range(self.depth):
             if i == 0:
-                x = nn.Conv(filters[0], (k,) * nd, strides=1, padding="VALID",
+                x = nn.Conv(dtype=cdt, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="VALID",
                             kernel_init=init, name=f"enc_conv_{i+1}")(x)
             else:
                 pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
                 x = jnp.pad(x, pad)
                 ks = k + 2 if i < self.depth - 1 else k
-                x = nn.Conv(filters[i], (ks,) * nd, strides=2, padding="VALID",
+                x = nn.Conv(dtype=cdt, features=filters[i], kernel_size=(ks,) * nd, strides=2, padding="VALID",
                             kernel_init=init, name=f"enc_conv_{i+1}")(x)
             if self._use_skip(i):
                 skips[i + 1] = x        # pre-activation, as in ref :267-268
@@ -142,7 +146,7 @@ class EncoderDecoderModel(nn.Module):
                     and self.dropout_layers[i] == 1):
                 x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         for j in range(self.extra_conv_layers):
-            x = nn.Conv(filters[-1], (k,) * nd, strides=1, padding="SAME",
+            x = nn.Conv(dtype=cdt, features=filters[-1], kernel_size=(k,) * nd, strides=1, padding="SAME",
                         kernel_init=init, name=f"enc_extra_conv_{j+1}")(x)
             x = act(x)
 
@@ -158,11 +162,11 @@ class EncoderDecoderModel(nn.Module):
                 width = spatial_elems
             channels = max(width // spatial_elems, 1)
             width = channels * spatial_elems
-            flat = lat_act(nn.Dense(width, kernel_init=init, name="latent_dense")(flat))
+            flat = lat_act(nn.Dense(dtype=cdt, features=width, kernel_init=init, name="latent_dense")(flat))
             x = flat.reshape(shape[:-1] + (channels,))
         elif self.latent_depth > 0:
             for d in range(self.latent_depth):
-                x = lat_act(nn.Dense(self.latent_width, kernel_init=init,
+                x = lat_act(nn.Dense(dtype=cdt, features=self.latent_width, kernel_init=init,
                                      name=f"latent_dense_{d}")(x))
 
         # ---------------- decoder (ref DecoderLayer :316-735) ----------------
@@ -170,11 +174,11 @@ class EncoderDecoderModel(nn.Module):
         for i in range(self.depth):
             if i == 0:
                 if innermost_skip:
-                    x = act(nn.Dense(filters[self.depth - 1], kernel_init=init,
+                    x = act(nn.Dense(dtype=cdt, features=filters[self.depth - 1], kernel_init=init,
                                      name="dec_dense_start")(x))
             else:
                 f = int(filters[self.depth - i - 1] * self.decoder_filter_fac)
-                x = nn.ConvTranspose(f, (k,) * nd, strides=(2,) * nd, padding="VALID",
+                x = nn.ConvTranspose(dtype=cdt, features=f, kernel_size=(k,) * nd, strides=(2,) * nd, padding="VALID",
                                      kernel_init=init, name=f"dec_deconv_{self.depth-i}")(x)
             level = self.depth - i
             if level in skips:
@@ -187,7 +191,7 @@ class EncoderDecoderModel(nn.Module):
                 pads.append((0, 0))
                 skip = jnp.pad(skip, pads)
                 if skip.shape[-1] != x.shape[-1]:
-                    skip = nn.Dense(x.shape[-1], kernel_init=init,
+                    skip = nn.Dense(dtype=cdt, features=x.shape[-1], kernel_init=init,
                                     name=f"skip_proj_{level}")(skip)
                 x = x + skip
             x = act(x)
@@ -215,16 +219,18 @@ class EncoderDecoderModel(nn.Module):
                                     (0, 0), (0, 0), (0, 0)])
 
         for j in range(self.extra_dec_conv_layers):
-            x = nn.Conv(filters[0], (k,) * nd, strides=1, padding="SAME",
+            x = nn.Conv(dtype=cdt, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="SAME",
                         kernel_init=init, name=f"dec_extra_conv_{j+1}")(x)
             x = act(x)
 
-        x = act(nn.Dense(int(filters[0] * self.decoder_filter_fac), kernel_init=init,
+        x = act(nn.Dense(dtype=cdt, features=int(filters[0] * self.decoder_filter_fac), kernel_init=init,
                          name="dec_final_dense")(x))
-        x = nn.Conv(in_channels, (1,) * nd, padding="SAME", kernel_init=init,
+        x = nn.Conv(dtype=cdt, features=in_channels, kernel_size=(1,) * nd, padding="SAME", kernel_init=init,
                     name="dec_final_conv")(x)
         x = get_activation(self.out_activation)(x)
         if x.shape[-1] != self.output_filters:
-            x = nn.Conv(self.output_filters, (1,) * nd, padding="SAME",
+            x = nn.Conv(dtype=cdt, features=self.output_filters, kernel_size=(1,) * nd, padding="SAME",
                         kernel_init=init, name="output_proj")(x)
+        if cdt is not None:
+            x = x.astype(jnp.float32)
         return unfold(x)

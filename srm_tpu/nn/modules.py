@@ -102,6 +102,7 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     ed["residual_params"]["Latent_Layer"]["Activation"] = None
     ed["residual_params"]["Out_Activation_Func"] = None
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
+    ed["compute_dtype"] = g.get("compute_dtype")   # optional bf16 network compute
 
     hard = get_configuration("hard_layer")
     hard["init_value"] = res["initialization"]["Pi"]
@@ -129,6 +130,7 @@ def build_time_step_model(name: str = "residual_network_only",
     cfg["output_distribution"] = False
     max_lim = g["maximum_srm_timestep"]
     cfg["output_activation"] = partial(scaled_tanh_lisht, min_val=0.1, max_val=max_lim)
+    cfg["compute_dtype"] = g.get("compute_dtype")
     return CompleteTrainableModule(
         network=ResidualNetworkLayer.from_config(cfg),
         hard_layer=None,

@@ -37,6 +37,7 @@ class ResidualBlock(nn.Module):
     use_projection: bool = False
     network_type: str = "cnn"
     kernel_init_name: str = "glorot_normal"
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, training: bool = False) -> Array:
@@ -44,16 +45,19 @@ class ResidualBlock(nn.Module):
         init = get_initializer(self.kernel_init_name)
         nt = self.network_type.lower()
         use_bias = not self.use_batch_norm
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def make(name, k=None, f=None, s=1):
             f = f or self.filters
             if nt == "cnn":
                 return nn.Conv(f, (k or self.kernel_size,) * 2, strides=s,
-                               padding="SAME", use_bias=use_bias, kernel_init=init, name=name)
+                               padding="SAME", use_bias=use_bias, kernel_init=init,
+                               dtype=cdt, name=name)
             if nt == "cnn3d":
                 return nn.Conv(f, (k or self.kernel_size,) * 3, strides=s,
-                               padding="SAME", use_bias=use_bias, kernel_init=init, name=name)
-            return nn.Dense(f, kernel_init=init, name=name)
+                               padding="SAME", use_bias=use_bias, kernel_init=init,
+                               dtype=cdt, name=name)
+            return nn.Dense(f, kernel_init=init, dtype=cdt, name=name)
 
         shortcut = x
         y = make("layer1", s=self.strides)(x)
@@ -92,6 +96,7 @@ class ResidualNetworkLayer(nn.Module):
     output_distribution: bool = False
     number_of_output_bins: int = 50
     include_output_layer: bool = True
+    compute_dtype: str | None = None
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "ResidualNetworkLayer":
@@ -111,6 +116,7 @@ class ResidualNetworkLayer(nn.Module):
             temporal=config.get("temporal", False),
             output_distribution=config.get("output_distribution", False),
             number_of_output_bins=config.get("number_of_output_bins", 50),
+            compute_dtype=config.get("compute_dtype"),
         )
 
     @nn.compact
@@ -123,6 +129,7 @@ class ResidualNetworkLayer(nn.Module):
                               dropout_rate=self.dropout_rate, use_projection=(i == 0),
                               network_type=self.network_type,
                               kernel_init_name=self.kernel_init_name,
+                              compute_dtype=self.compute_dtype,
                               name=f"res_block_{i+1}")(x, training=training)
 
         if not self.include_output_layer:
@@ -158,4 +165,6 @@ class ResidualNetworkLayer(nn.Module):
             out = nn.Conv(self.output_filters, (1,) * nd, padding="SAME",
                           kernel_init=init, name="output_layer")(x)
         out = get_activation(self.output_activation)(out)
+        if self.compute_dtype:
+            out = out.astype(jnp.float32)
         return unfold(out)

@@ -228,6 +228,8 @@ def train_combined_models_unified(
     verbose: int = 1, general_config=None,
     log_variables_callback: Optional[Callable] = None,
     log_epoch_percentage: float = 0.2, mesh=None, seed: int = 0,
+    checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
+    resume: bool = False,
 ):
     """Full training driver; returns (params, history, best_model_variables).
 
@@ -260,7 +262,22 @@ def train_combined_models_unified(
     physics = loss_fn.physics_mode_fraction >= 1.0
     t_total = time.time()
 
-    for epoch in range(epochs):
+    # durable checkpoint/resume (new capability; the reference keeps best
+    # weights in RAM only — SURVEY §5.4)
+    ckpt = None
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        from srm_tpu.utils.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore(template={"params": trainer.params,
+                                              "opt_state": trainer.opt_state})
+            if restored is not None:
+                trainer.params, trainer.opt_state, _, last = restored
+                start_epoch = int(last) + 1
+                log.info("Resumed from checkpoint at epoch %d", start_epoch)
+
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         nsteps = n_train_batches
         if nsteps == 0:
@@ -280,6 +297,16 @@ def train_combined_models_unified(
         history["total_train_loss"].append(total_train)
         if "tstep_mean" in metrics:
             history["tstep_mean"].append(float(np.mean(metrics["tstep_mean"])))
+
+        # failure detection (ref training.py:611-649 warned on zero error
+        # counts / all-zero losses; here also non-finite divergence)
+        if not np.isfinite(total_train):
+            log.error("Non-finite training loss at epoch %d — stopping. "
+                      "Check Δt bounds, PVT clamps and input normalization.", epoch + 1)
+            break
+        if total_train == 0.0 and physics:
+            log.warning("All physics losses are zero at epoch %d — the residual "
+                        "is likely disconnected from the models.", epoch + 1)
         if verbose:
             print(f"Epoch {epoch+1}/{epochs} - loss {total_train:.4f} - {epoch_ms:.0f} ms "
                   f"({nsteps / max(epoch_ms / 1000.0, 1e-9):.2f} steps/s)")
@@ -311,6 +338,9 @@ def train_combined_models_unified(
                     history["val"][ph][key].append(avg_val[ph][key])
             history["total_val_loss"].append(
                 0.0 if physics else sum(sum(avg_val[ph].values()) for ph in avg_val))
+        if ckpt is not None and ((epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
+            ckpt.save(epoch, trainer.params, trainer.opt_state, history=history)
+
         for cbk in callbacks or []:
             cbk(epoch)
 
@@ -338,4 +368,7 @@ def train_combined_models_unified(
 
     if verbose:
         print(f"Total training time: {time.time() - t_total:.2f}s")
+    if ckpt is not None:
+        ckpt.wait_until_finished()
+        ckpt.close()
     return trainer.params, history, best_model_variables
