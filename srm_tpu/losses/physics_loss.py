@@ -109,14 +109,22 @@ class PhysicsLoss:
         self.relperm = RelativePermeability.from_config(
             self.scal_config["end_points"], self.scal_config["corey_exponents"])
 
-        # well scatter grids on the (H, W) plane
+        # well scatter grids: (H, W) plane for Nz == 1, full (D, H, W) for 3D
         well = models["well_rate_bhp_model"]
         conn = well.well_data["connection_index"]
-        Ny, Nx = res["Ny"], res["Nx"]
-        self.q_well_idx = np.asarray(
-            scatter_to_grid((1, Ny, Nx), conn[:, 1:], 1.0, start_dim=1))[0]
-        self.q_t0 = np.asarray(scatter_to_grid(
-            (1, Ny, Nx), conn[:, 1:], well.well_data["control_mode_value"], start_dim=1))[0]
+        Ny, Nx, Nz = res["Ny"], res["Nx"], res["Nz"]
+        self.Nz = Nz
+        self.kv_kh = res.get("vertical_anisotropy", 1.0)
+        if Nz > 1:
+            self.q_well_idx = np.asarray(
+                scatter_to_grid((1, Nz, Ny, Nx), conn, 1.0, start_dim=1))[0]
+            self.q_t0 = np.asarray(scatter_to_grid(
+                (1, Nz, Ny, Nx), conn, well.well_data["control_mode_value"], start_dim=1))[0]
+        else:
+            self.q_well_idx = np.asarray(
+                scatter_to_grid((1, Ny, Nx), conn[:, 1:], 1.0, start_dim=1))[0]
+            self.q_t0 = np.asarray(scatter_to_grid(
+                (1, Ny, Nx), conn[:, 1:], well.well_data["control_mode_value"], start_dim=1))[0]
 
         # stat rows
         ds = data_summary
@@ -182,6 +190,8 @@ class PhysicsLoss:
     # ------------------------------------------------------------------
     def residuals(self, params, x: Array) -> Dict[str, Any]:
         if self.fluid_type == "DG":
+            if self.Nz > 1:
+                return self._residuals_dg_3d(params, x)
             return self._residuals_dg(params, x)
         return self._residuals_gc(params, x)
 
@@ -210,11 +220,11 @@ class PhysicsLoss:
         # utilization than the reference's two sequential passes).
         m = self.models
         dt0f = m["time_step"].apply(params["time_step"], x, training=True)
-        tstep = jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)   # (B,1,1,1,1)
+        tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
         dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
-        tstep2 = jnp.mean(dt1f, axis=(1, 2, 3), keepdims=True)
+        tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
@@ -283,6 +293,97 @@ class PhysicsLoss:
             "outputs": {"p_n0": p0f, "p_n1": p1f, "tstep": tstep, "q": q1, "pwf": pwf1},
         }
 
+    def _residuals_dg_3d(self, params, x: Array) -> Dict[str, Any]:
+        """Full-3D dry-gas residual with z-direction fluxes (7-point stencil).
+
+        NEW capability: the reference's residual is 2D-only
+        ("1D model adapted to 2D", physics_loss.py:10) even though its data
+        model carries a depth axis. Vertical permeability
+        kz = vertical_anisotropy · kx; fields are (B, D, H, W).
+        """
+        from srm_tpu.ops.stencil import (
+            average_faces_3d, harmonic_faces_3d, neighbors_3d, pad_symmetric_3d,
+            seven_point_divergence,
+        )
+        C, D = self.C, self.D
+        sq3 = lambda f: f[..., 0]                              # noqa: E731
+        kx_c = self._denorm_permx(x[..., 4])                   # (B, D, H, W)
+        phi_c = jnp.full_like(kx_c, self.phi0)
+        kxp = pad_symmetric_3d(kx_c)
+        kn = neighbors_3d(kxp)
+        kzn = neighbors_3d(pad_symmetric_3d(self.kv_kh * kx_c))
+        kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h = harmonic_faces_3d(kn, kzn)
+        dv = self.dx * self.dy * self.dz
+        cf = 97.32e-6 / (1.0 + 55.8721 * phi_c**1.428586)
+        q_well = jnp.asarray(self.q_well_idx)
+
+        m = self.models
+        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
+        dt_norm = self._norm_dt(tstep)
+        x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
+        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
+
+        B = x.shape[0]
+        x01 = jnp.concatenate([x, x1], axis=0)
+        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
+        pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
+        p0f, p1f = p01[:B], p01[B:]
+        pvt0, pvt1 = pvt01[:, :, :B], pvt01[:, :, B:]
+
+        pvt_fn = lambda p: m["pvt_model"].apply(params["pvt_model"], p)  # noqa: E731
+        well = m["well_rate_bhp_model"]
+        q1, pwf1 = well.compute_rates_and_bhp(x1, p1f, None, relperm_model=self.relperm,
+                                              model_PVT=pvt_fn)
+
+        p0, p1 = sq3(p0f), sq3(p1f)
+        invBg0, dinvBg0 = sq3(pvt0[0, 0]), sq3(pvt0[1, 0])
+        invBg1, invug1 = sq3(pvt1[0, 0]), sq3(pvt1[0, 1])
+        q1c = sq3(q1)
+        # reshape Δt to broadcast against the rank-5 (B,1,D,H,W) fields
+        t1 = tstep.reshape((B,) + (1,) * (p0.ndim - 1))
+        t2 = tstep2.reshape((B,) + (1,) * (p0.ndim - 1))
+
+        pn = neighbors_3d(pad_symmetric_3d(p1))
+        bgug = neighbors_3d(pad_symmetric_3d(invBg1 * invug1))
+        b_ih, b_i_h, b_jh, b_j_h, b_kh, b_k_h = average_faces_3d(bgug)
+        _, krgo = self.relperm(jnp.asarray(self.Sgi))
+
+        cr0 = phi_c * cf * invBg0
+        cp1 = self.Sgi * (phi_c * dinvBg0 + cr0)
+
+        inv_dxx = 1.0 / (self.dx * self.dx)
+        inv_dyy = 1.0 / (self.dy * self.dy)
+        inv_dzz = 1.0 / (self.dz * self.dz)
+        a1 = C * kx_i_h * krgo * b_i_h * inv_dxx
+        a2 = C * ky_j_h * krgo * b_j_h * inv_dyy
+        a3 = C * kx_ih * krgo * b_ih * inv_dxx
+        a4 = C * ky_jh * krgo * b_jh * inv_dyy
+        a5 = C * kz_k_h * krgo * b_k_h * inv_dzz
+        a6 = C * kz_kh * krgo * b_kh * inv_dzz
+        a_acc = (1.0 / D) * (cp1 / t1)
+
+        p2 = (p1 - p0) * (1.0 + t2 / jnp.maximum(t1, 1e-12)) + p0
+        trn_err = (dv / D) * cp1 * (
+            2.0 * EPSILON / t1
+            + (t2 * p0 + t1 * p2 - (t1 + t2) * p1) / (t1 * t2 + t2**2))
+
+        dom_divq = seven_point_divergence(a3, a1, a4, a2, a6, a5, pn, q1c / dv, dv)
+        dom = dom_divq + dv * a_acc * (p1 - p0)
+        ibc = q_well * dom_divq
+        red_axes = tuple(range(1, q1c.ndim))
+        mbc = (-jnp.sum(q1c, axis=red_axes)
+               - jnp.sum(dv * self.Sgi * phi_c * (invBg1 - invBg0)
+                         / (D * t1), axis=red_axes))
+
+        zeros = jnp.zeros_like(dom)
+        return {
+            "gas": {"dom": dom, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                    "mbc": mbc, "cmbc": zeros, "tde": trn_err},
+            "outputs": {"p_n0": p0f, "p_n1": p1f, "tstep": tstep, "q": q1, "pwf": pwf1},
+        }
+
     def _residuals_gc(self, params, x: Array) -> Dict[str, Any]:
         """Gas-condensate two-phase residual (ref physics_loss.py:319-693).
 
@@ -298,11 +399,11 @@ class PhysicsLoss:
         # ---- forwards (doubled-batch over the two time levels) -------------
         m = self.models
         dt0f = m["time_step"].apply(params["time_step"], x, training=True)
-        tstep = jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)
+        tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
         dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
-        tstep2 = jnp.mean(dt1f, axis=(1, 2, 3), keepdims=True)
+        tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
@@ -466,7 +567,7 @@ class PhysicsLoss:
             zeros = jnp.zeros_like(self._sq(p0f))
             res = {ph: {t: zeros for t in LOSS_TERMS if t != "td"} for ph in phases}
             res["outputs"] = {"p_n0": p0f, "p_n1": p0f,
-                              "tstep": jnp.mean(dt0f, axis=(1, 2, 3), keepdims=True)}
+                              "tstep": jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)}
             if self.fluid_type == "GC":
                 res["outputs"]["Sg_n0"] = Sg0f
 

@@ -94,8 +94,16 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     g = general_config or DEFAULT_GENERAL_CONFIG
     res = reservoir_config or DEFAULT_RESERVOIR_CONFIG
     ed = get_configuration("encoder_decoder")
-    ed["spatial_dims"] = 2
-    ed["temporal"] = True
+    if res.get("Nz", 1) > 1:
+        # true-3D grids: volumetric convs over (D, H, W); the woven tensor
+        # keeps a leading singleton axis that folds as the (trivial) temporal
+        # axis (the reference's 3D config branch,
+        # default_configurations.py:164-182)
+        ed["spatial_dims"] = 3
+        ed["temporal"] = True
+    else:
+        ed["spatial_dims"] = 2
+        ed["temporal"] = True
     ed["residual_params"]["Extra_Conv_Layers"]["Count"] = 2
     ed["residual_params"]["Extra_Dec_Conv_Layers"]["Count"] = 2
     ed["residual_params"]["Latent_Layer"]["Depth"] = 1
@@ -119,14 +127,20 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
 
 
 def build_time_step_model(name: str = "residual_network_only",
-                          general_config: Optional[Dict] = None) -> CompleteTrainableModule:
+                          general_config: Optional[Dict] = None,
+                          reservoir_config: Optional[Dict] = None) -> CompleteTrainableModule:
     """Model 2: cnn residual net with scaled-x·tanh(x) Δt output in
     (min_srm_timestep, max_srm_timestep] (ref :135-195)."""
     g = general_config or DEFAULT_GENERAL_CONFIG
+    res = reservoir_config or DEFAULT_RESERVOIR_CONFIG
     cfg = get_configuration("residual")
-    cfg["network_type"] = "cnn"
     cfg["number_of_output_bins"] = 50
-    cfg["temporal"] = True
+    if res.get("Nz", 1) > 1:
+        cfg["network_type"] = "cnn3d"
+        cfg["temporal"] = True
+    else:
+        cfg["network_type"] = "cnn"
+        cfg["temporal"] = True
     cfg["output_distribution"] = False
     max_lim = g["maximum_srm_timestep"]
     cfg["output_activation"] = partial(scaled_tanh_lisht, min_val=0.1, max_val=max_lim)
@@ -179,7 +193,7 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     models["pressure"] = pressure
     params["pressure"] = pressure.init(k_main, sample)
 
-    time_step = build_time_step_model(general_config=g)
+    time_step = build_time_step_model(general_config=g, reservoir_config=reservoir_config)
     models["time_step"] = time_step
     params["time_step"] = time_step.init(k_ts, sample)
 

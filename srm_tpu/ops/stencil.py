@@ -87,3 +87,62 @@ def five_point_divergence(a_ih: Array, a_i_h: Array, a_jh: Array, a_j_h: Array,
     return dv * ((-a_i_h * p.i_1) + (-a_j_h * p.j_1)
                  + ((a_i_h + a_j_h + a_ih + a_jh) * p.ij)
                  + (-a_ih * p.i1) + (-a_jh * p.j1) + q_over_dv)
+
+
+# --------------------------------------------------------------------------
+# 3D (7-point) extension — NEW capability beyond the reference, whose residual
+# is 2D-only ("1D model adapted to 2D", physics_loss.py:10). Adds z-direction
+# fluxes for Nz > 1 grids; k indexes the third-from-last axis (depth).
+# --------------------------------------------------------------------------
+class Neighbors3D(NamedTuple):
+    ij: Array
+    i1: Array
+    i_1: Array
+    j1: Array
+    j_1: Array
+    k1: Array    # k+1 (down)
+    k_1: Array   # k-1 (up)
+
+
+def pad_symmetric_3d(f: Array) -> Array:
+    """Symmetric ghost cells on the last three axes."""
+    pad = [(0, 0)] * (f.ndim - 3) + [(1, 1), (1, 1), (1, 1)]
+    return jnp.pad(f, pad, mode="symmetric")
+
+
+def neighbors_3d(fp: Array) -> Neighbors3D:
+    c = fp[..., 1:-1, 1:-1, 1:-1]
+    return Neighbors3D(
+        ij=c,
+        i1=fp[..., 1:-1, 1:-1, 2:],
+        i_1=fp[..., 1:-1, 1:-1, :-2],
+        j1=fp[..., 1:-1, 2:, 1:-1],
+        j_1=fp[..., 1:-1, :-2, 1:-1],
+        k1=fp[..., 2:, 1:-1, 1:-1],
+        k_1=fp[..., :-2, 1:-1, 1:-1],
+    )
+
+
+def harmonic_faces_3d(k: Neighbors3D, kz: Neighbors3D):
+    """Harmonic-mean permeability at the six faces; z faces use the vertical
+    permeability field ``kz``."""
+    kx_ih = 2.0 * k.i1 * k.ij / (k.i1 + k.ij)
+    kx_i_h = 2.0 * k.ij * k.i_1 / (k.ij + k.i_1)
+    ky_jh = 2.0 * k.j1 * k.ij / (k.j1 + k.ij)
+    ky_j_h = 2.0 * k.ij * k.j_1 / (k.ij + k.j_1)
+    kz_kh = 2.0 * kz.k1 * kz.ij / (kz.k1 + kz.ij)
+    kz_k_h = 2.0 * kz.ij * kz.k_1 / (kz.ij + kz.k_1)
+    return kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h
+
+
+def average_faces_3d(f: Neighbors3D):
+    return (0.5 * (f.i1 + f.ij), 0.5 * (f.ij + f.i_1),
+            0.5 * (f.j1 + f.ij), 0.5 * (f.ij + f.j_1),
+            0.5 * (f.k1 + f.ij), 0.5 * (f.ij + f.k_1))
+
+
+def seven_point_divergence(a_ih, a_i_h, a_jh, a_j_h, a_kh, a_k_h,
+                           p: Neighbors3D, q_over_dv: Array, dv: Array) -> Array:
+    return dv * ((-a_i_h * p.i_1) + (-a_j_h * p.j_1) + (-a_k_h * p.k_1)
+                 + ((a_i_h + a_j_h + a_k_h + a_ih + a_jh + a_kh) * p.ij)
+                 + (-a_ih * p.i1) + (-a_jh * p.j1) + (-a_kh * p.k1) + q_over_dv)

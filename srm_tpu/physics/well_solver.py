@@ -302,8 +302,10 @@ class WellRatesPressure:
         q_target = q_target if q_target is not None else self.q0
 
         windows = shutin_days if shutin_days is not None else self.well_data["shutin_days"]
+        # the (k, j, i) spatial triplet occupies the last 4 dims before the
+        # channel axis; any leading axes (batch, folded temporal) come first
         shutins_id = conn_shutins_mask(t_n1, self.well_data["connection_index"], windows,
-                                       time_axis=0)
+                                       time_axis=max(t_n1.ndim - 5, 0))
 
         ky_n1 = self.kx_ky * kx_n1
         ro = 0.28 * jnp.sqrt(jnp.sqrt(ky_n1 / kx_n1) * self.dx**2

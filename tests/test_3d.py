@@ -1,0 +1,93 @@
+"""Full-3D (Nz > 1) dry-gas path: 7-point stencil, volumetric models.
+
+This capability EXCEEDS the reference, whose residual is 2D-only
+(physics_loss.py:10 "1D model adapted to 2D")."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srm_tpu.ops.stencil import (
+    pad_symmetric_3d, neighbors_3d, harmonic_faces_3d, average_faces_3d,
+    seven_point_divergence,
+)
+
+
+def test_seven_point_uniform_pressure():
+    p = neighbors_3d(pad_symmetric_3d(jnp.full((1, 3, 4, 4), 5000.0)))
+    a = jnp.full((1, 3, 4, 4), 0.2)
+    q = jnp.zeros((1, 3, 4, 4)).at[0, 1, 2, 2].set(77.0)
+    out = seven_point_divergence(a, a, a, a, a, a, p, q / 3.0, 3.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(q), atol=1e-2)
+
+
+def test_harmonic_faces_3d_constant():
+    k = neighbors_3d(pad_symmetric_3d(jnp.full((1, 3, 4, 4), 5.0)))
+    for f in harmonic_faces_3d(k, k):
+        np.testing.assert_allclose(np.asarray(f), 5.0, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def case_3d(tmp_path_factory):
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.data.dataset import SRMDataProcessor
+    from srm_tpu.nn.modules import build_model_map
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    from srm_tpu.utils.stats import DataSummary
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["fluid_type"] = "DG"
+    g["unit_target_shape"] = (1, 3, 9, 9, 1)
+    proc = SRMDataProcessor(base_dir=str(tmp_path_factory.mktemp("srm3d")),
+                            general_config=g)
+    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 9
+    proc.reservoir_config["Nz"] = 3
+    proc.reservoir_config["realizations"]["permx"]["number"] = 6
+    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(4, 4, 1): 2.0}
+    for conn in proc.wells_config["connections"]:
+        conn["i"] = min(conn["i"] // 4, 8)
+        conn["j"] = min(conn["j"] // 4, 8)
+        conn["k"] = 1
+    _, tr, va, te, pr = proc.get_or_generate_training_data()
+    stats = proc.load_training_statistics()
+    ds = DataSummary([stats])
+    models, params = build_model_map(tr[0][0].shape, fluid_type="DG",
+                                     general_config=g,
+                                     reservoir_config=proc.reservoir_config,
+                                     wells_config=proc.wells_config, data_summary=ds)
+    loss_fn = PhysicsLoss(models, ds, general_config=g,
+                          reservoir_config=proc.reservoir_config,
+                          wells_config=proc.wells_config, fluid_type="DG")
+    return {"proc": proc, "tr": tr, "models": models, "params": params,
+            "loss_fn": loss_fn, "g": g}
+
+
+def test_3d_dataset_and_models(case_3d):
+    x, y = case_3d["tr"][0]
+    # (K, T, 1, D, H, W, C): the folded temporal singleton stays between the
+    # sample axes and the 3D volume
+    assert x.shape[2:] == (1, 3, 9, 9, 5)
+    xb = jnp.asarray(x[:2, 0])
+    p = case_3d["models"]["pressure"].apply(case_3d["params"]["pressure"], xb)
+    assert p.shape == (2, 1, 3, 9, 9, 1)
+    dt = case_3d["models"]["time_step"].apply(case_3d["params"]["time_step"], xb)
+    assert dt.shape == (2, 1, 3, 9, 9, 1)
+
+
+def test_3d_loss_and_grads(case_3d):
+    loss_fn = case_3d["loss_fn"]
+    assert loss_fn.Nz == 3
+    x, y = case_3d["tr"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    aux, grads, total = loss_fn.pinn_batch_sse_grad(case_3d["params"], xb, yb)
+    assert np.isfinite(float(total))
+    for t, v in aux["gas"].items():
+        assert np.isfinite(float(v)), t
+    for key, g_ in grads.items():
+        leaves = jax.tree_util.tree_leaves(g_)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), key
+        assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0, key
