@@ -84,7 +84,9 @@ class PhysicsLoss:
                  reservoir_config: Optional[Dict] = None,
                  wells_config: Optional[Dict] = None,
                  scal_config: Optional[Dict] = None,
-                 fluid_type: Optional[str] = None):
+                 fluid_type: Optional[str] = None,
+                 use_pallas_stencil: bool = False):
+        self.use_pallas_stencil = use_pallas_stencil
         self.models = models
         self.data_summary = data_summary
         self.general_config = general_config or DEFAULT_GENERAL_CONFIG
@@ -248,6 +250,27 @@ class PhysicsLoss:
         q1c = sq(q1)
         t1 = tstep[:, 0, :, :, 0]                              # (B,1,1)
         t2 = tstep2[:, 0, :, :, 0]
+
+        if self.use_pallas_stencil:
+            # fused single-VMEM-pass residual (srm_tpu.kernels); gradients via
+            # the kernel's custom vjp
+            from srm_tpu.kernels.stencil_pallas import StencilConfig, dg_stencil_residual
+            _, krgo_s = self.relperm(jnp.asarray(self.Sgi))
+            cfg = StencilConfig(C=C, D=D, dx=self.dx, dy=self.dy, dz=self.dz,
+                                Sgi=self.Sgi, krgo=float(krgo_s), phi=self.phi0)
+            tsteps = jnp.concatenate(
+                [t1.reshape(-1, 1), t2.reshape(-1, 1)], axis=1)
+            dom, ibc, trn_err, mbc = dg_stencil_residual(
+                pad_symmetric(p0), pad_symmetric(p1), pad_symmetric(kx_c),
+                pad_symmetric(invBg1 * invug1), invBg0, invBg1, dinvBg0, q1c,
+                q_well, tsteps, cfg)
+            zeros = jnp.zeros_like(dom)
+            return {
+                "gas": {"dom": dom, "dbc": zeros, "nbc": zeros, "ibc": ibc,
+                        "ic": zeros, "mbc": mbc, "cmbc": zeros, "tde": trn_err},
+                "outputs": {"p_n0": p0f, "p_n1": p1f, "tstep": tstep,
+                            "q": q1, "pwf": pwf1},
+            }
 
         pn = neighbors(pad_symmetric(p1))
         bgug1 = neighbors(pad_symmetric(invBg1 * invug1))

@@ -35,6 +35,19 @@ from srm_tpu.training.optimizers import build_optimizer_from_config
 log = logging.getLogger(__name__)
 
 
+def validate_loss_keys(labels, loss_keys, general_config) -> None:
+    """In data (non-physics) mode, assert that the label dict covers the
+    training-data terms (ref training.py:367-409). No-op in physics mode."""
+    if general_config.get("physics_mode_fraction", 1.0) != 0:
+        return
+    n_td_terms = sum(1 for keys in loss_keys.values() for k in keys
+                     if k.split("_")[0] == "td")
+    n_labels = len(labels) if isinstance(labels, dict) else 1
+    assert n_labels >= min(n_td_terms, 2) and n_labels > 0, (
+        f"non-physics mode needs labels for the td terms: have {n_labels} "
+        f"label keys for {n_td_terms} td terms")
+
+
 class Trainer:
     """Owns the jitted train/eval steps for a PhysicsLoss + model map."""
 

@@ -1,0 +1,88 @@
+"""Mode coverage: Pallas-fused loss vs jnp loss, supervised (data) mode,
+and loss-key validation."""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_case(tmp_path_factory):
+    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    return setup_dry_gas_case(base_dir=str(tmp_path_factory.mktemp("modes")),
+                              nx=13, n_realizations=8)
+
+
+def test_pallas_loss_matches_jnp_loss(small_case):
+    """PhysicsLoss with use_pallas_stencil=True reproduces the jnp residual
+    losses (interpret mode on CPU; compiled Mosaic on TPU)."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    base = small_case["loss_fn"]
+    pallas_loss = PhysicsLoss(base.models, base.data_summary,
+                              general_config=base.general_config,
+                              reservoir_config=base.reservoir_config,
+                              wells_config=base.wells_config, fluid_type="DG",
+                              use_pallas_stencil=True)
+    x, y = small_case["train_groups"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    t_ref, aux_ref = base.loss_and_metrics(small_case["params"], xb, yb)
+    t_pal, aux_pal = pallas_loss.loss_and_metrics(small_case["params"], xb, yb)
+    assert float(t_pal) == pytest.approx(float(t_ref), rel=1e-4)
+    for term in ("dom", "ibc", "mbc", "tde"):
+        assert float(aux_pal["gas"][term]) == pytest.approx(
+            float(aux_ref["gas"][term]), rel=1e-3), term
+    # gradients flow through the kernel's custom vjp
+    _, grads, _ = pallas_loss.pinn_batch_sse_grad(small_case["params"], xb, yb)
+    leaves = jax.tree_util.tree_leaves(grads["pressure"])
+    assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
+def test_data_mode_supervised_training(small_case):
+    """physics_mode_fraction = 0: supervised regression on labels only
+    (ref zeros_like_pinn_error path, physics_loss.py:716-729)."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    from srm_tpu.training.trainer import Trainer
+    base = small_case["loss_fn"]
+    g = copy.deepcopy(base.general_config)
+    g["physics_mode_fraction"] = 0.0
+    data_loss = PhysicsLoss(base.models, base.data_summary, general_config=g,
+                            reservoir_config=base.reservoir_config,
+                            wells_config=base.wells_config, fluid_type="DG")
+    assert data_loss.physics_mode_fraction == 0.0
+
+    x, _ = small_case["train_groups"][0]
+    xb = x[0, :8]   # one realization, 8 distinct times (t0 alone would make
+                    # the hard-IC prediction equal the label exactly)
+    # synthetic pressure labels: a smooth function of time
+    y_lab = {"PRESSURE": 5000.0 - 100.0 * (xb[..., 3] + 1.0)}
+    total, aux = data_loss.loss_and_metrics(small_case["params"], jnp.asarray(xb),
+                                            {k: jnp.asarray(v) for k, v in y_lab.items()})
+    assert np.isfinite(float(total))
+    assert float(aux["gas"]["dom"]) == 0.0        # physics terms zeroed
+    assert float(aux["gas"]["td"]) > 0.0           # data term live
+
+    tr = Trainer(data_loss, small_case["params"], donate_params=False)
+    first = last = None
+    for _ in range(10):
+        m = tr.train_step(xb, y_lab)
+        v = float(m["total"])
+        first = v if first is None else first
+        last = v
+    assert last < first
+
+
+def test_validate_loss_keys(small_case):
+    from srm_tpu.training.trainer import validate_loss_keys
+    loss_fn = small_case["loss_fn"]
+    # physics mode: validation is skipped regardless
+    validate_loss_keys({"PRESSURE": np.zeros((4, 2))}, loss_fn.loss_keys,
+                       {"physics_mode_fraction": 1.0})
+    # data mode: label keys must cover the td terms
+    with pytest.raises(AssertionError):
+        validate_loss_keys({}, loss_fn.loss_keys, {"physics_mode_fraction": 0.0})
+    validate_loss_keys({"PRESSURE": np.zeros((4, 2))}, loss_fn.loss_keys,
+                       {"physics_mode_fraction": 0.0})
