@@ -110,6 +110,9 @@ class PhysicsLoss:
         self.Sgi = 1.0 - self.Swmin
         self.relperm = RelativePermeability.from_config(
             self.scal_config["end_points"], self.scal_config["corey_exponents"])
+        # constant DG relperm at Sgi, evaluated eagerly so it is a static
+        # Python float inside jitted losses (used by the Pallas config)
+        self._krgo_sgi = float(self.relperm(jnp.asarray(self.Sgi))[1])
 
         # well scatter grids: (H, W) plane for Nz == 1, full (D, H, W) for 3D
         well = models["well_rate_bhp_model"]
@@ -255,9 +258,8 @@ class PhysicsLoss:
             # fused single-VMEM-pass residual (srm_tpu.kernels); gradients via
             # the kernel's custom vjp
             from srm_tpu.kernels.stencil_pallas import StencilConfig, dg_stencil_residual
-            _, krgo_s = self.relperm(jnp.asarray(self.Sgi))
             cfg = StencilConfig(C=C, D=D, dx=self.dx, dy=self.dy, dz=self.dz,
-                                Sgi=self.Sgi, krgo=float(krgo_s), phi=self.phi0)
+                                Sgi=self.Sgi, krgo=self._krgo_sgi, phi=self.phi0)
             tsteps = jnp.concatenate(
                 [t1.reshape(-1, 1), t2.reshape(-1, 1)], axis=1)
             dom, ibc, trn_err, mbc = dg_stencil_residual(
