@@ -47,19 +47,11 @@ def build_optimizer_from_config(config: Dict[str, Any]) -> optax.GradientTransfo
     if opt_type in ("adamw", "adabelief"):
         wd_sched = wd
         if opt_type == "adamw" and enabled and wd_cfg.get("enabled", False):
-            # decayed weight-decay coefficient: express relative decay via a
-            # schedule ratio folded into add_decayed_weights through an extra
-            # scale_by_schedule on the decay branch
+            # decayed weight-decay coefficient (Keras AdamW semantics: the
+            # decoupled decay term itself decays exponentially over steps)
             ratio = _exp_schedule(1.0, steps, wd_cfg.get("decay_rate", 0.98), staircase)
-            decay_branch = optax.chain(
-                optax.add_decayed_weights(wd),
-                optax.scale_by_schedule(lambda step: 1.0),  # placeholder; see below
-            )
-            # optax composes left-to-right on updates; scale decayed weights by
-            # the ratio schedule before merging with the adam update:
-            base = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
             return optax.chain(
-                base,
+                optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                 _scaled_decayed_weights(wd, ratio),
                 optax.scale_by_learning_rate(lr_sched),
             )
@@ -75,12 +67,14 @@ def build_optimizer_from_config(config: Dict[str, Any]) -> optax.GradientTransfo
 
 def _scaled_decayed_weights(wd: float, ratio_schedule) -> optax.GradientTransformation:
     """add_decayed_weights with a schedule-scaled coefficient."""
+    import jax
+    import jax.numpy as jnp
+
     def init_fn(params):
-        return optax.ScaleByScheduleState(count=__import__("jax").numpy.zeros([], dtype="int32"))
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
 
     def update_fn(updates, state, params=None):
-        import jax
-        import jax.numpy as jnp
         if params is None:
             raise ValueError("params required for decayed weights")
         coeff = wd * ratio_schedule(state.count)
