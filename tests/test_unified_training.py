@@ -6,6 +6,27 @@ import numpy as np
 import pytest
 
 
+def test_training_is_deterministic(tmp_path):
+    """Same seed → identical loss trajectory (dataset RNG, init RNG and
+    device-side shuffling are all keyed)."""
+    import jax
+    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    from srm_tpu.training.trainer import Trainer
+
+    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=13, n_realizations=8)
+
+    def run():
+        tr = Trainer(case["loss_fn"],
+                     jax.tree_util.tree_map(lambda a: a, case["params"]),
+                     donate_params=False)
+        tr.stage_dataset("train", case["train_groups"], 16)
+        m = tr.train_epoch_resident("train", jax.random.PRNGKey(7))
+        return np.asarray(jax.device_get(m["total"]))
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("epochs", [3])
 def test_unified_training_end_to_end(tmp_path, epochs):
     from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
