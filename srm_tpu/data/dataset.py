@@ -142,17 +142,52 @@ class SRMDataProcessor:
         zeros = np.zeros_like(features[..., 0])
         return {k: zeros for k in self.label_keys()}
 
-    def simulation_labels(self, split: str) -> Optional[Dict[str, np.ndarray]]:
-        """Parse simulator outputs for the split if a dynamic directory exists
-        (ref srm_data_processing.py:454-514). Returns None when absent."""
+    def simulation_labels(self, split: str, **kwargs) -> Optional[Dict[str, np.ndarray]]:
+        """Simulator labels for the split, in FEATURE grid order.
+
+        Source priority:
+
+        1. parsed simulator files, if a ``dat_files_{split}_{hash}/dynamic``
+           directory exists (ref srm_data_processing.py:454-514);
+        2. the built-in implicit FV simulator, when
+           ``general_config['label_source'] == 'simulator'`` (NEW capability —
+           the reference always requires an external simulator run);
+        3. ``None`` (caller falls back to zero labels).
+
+        Parsed arrays are ``(K, T, Nx, Ny, Nz)`` in Eclipse F-order; they are
+        transposed to the woven feature order ``(K, T, Nz, Ny, Nx)`` and
+        optionally re-sliced on the time axis via
+        ``general_config['array_pipeline']['slices']`` (the reference's
+        re-slicing stage, ref simulation_data_process_pipeline.py:325-433).
+        """
+        permx = kwargs.get("permx")
+        times = kwargs.get("times")
         _, h = self.config_hash()
         sim_dir = os.path.join(self.kle_folder(), f"dat_files_{split}_{h}", "dynamic")
-        if not os.path.isdir(sim_dir):
+        data = None
+        if os.path.isdir(sim_dir):
+            from srm_tpu.data.pipeline import run_pipeline_for_directory
+            data = run_pipeline_for_directory(
+                sim_dir, shape=(self.reservoir_config["Nx"],
+                                self.reservoir_config["Ny"],
+                                self.reservoir_config["Nz"]))
+            if data is not None:
+                # F-order grid (…, Nx, Ny, Nz) → feature order (…, Nz, Ny, Nx)
+                data = {k: np.transpose(v, tuple(range(v.ndim - 3))
+                                        + (v.ndim - 1, v.ndim - 2, v.ndim - 3))
+                        for k, v in data.items()}
+        if data is None and self.general_config.get("label_source") == "simulator":
+            from srm_tpu.sim import simulate_labels
+            data = simulate_labels(self, split, permx=permx, times=times)
+        if data is None:
             return None
-        from srm_tpu.data.pipeline import run_pipeline_for_directory
-        return run_pipeline_for_directory(sim_dir, shape=(self.reservoir_config["Nx"],
-                                                          self.reservoir_config["Ny"],
-                                                          self.reservoir_config["Nz"]))
+        ap = self.general_config.get("array_pipeline") or {}
+        if ap.get("slices") is not None:
+            from srm_tpu.data.pipeline import process_array
+            data = {k: process_array(v, slices=ap["slices"],
+                                     slice_dim=ap.get("slice_dim", 1),
+                                     reshape_dims=None) for k, v in data.items()}
+        return data
 
     # -- full pipeline ----------------------------------------------------------
     def process_data(self):
@@ -165,15 +200,29 @@ class SRMDataProcessor:
         # labels
         labels: Dict[str, Dict[str, np.ndarray]] = {}
         physics = self.general_config["physics_mode_fraction"] >= 1.0
+        label_source = self.general_config.get("label_source", "files")
+        sim_splits = ("test",) if label_source != "simulator" or physics \
+            else tuple(self.split_keys)
         for s in self.split_keys:
-            sim = self.simulation_labels(s) if s == "test" else None
+            sim = (self.simulation_labels(s, permx=kle[s], times=times[s])
+                   if s in sim_splits else None)
             if sim is not None:
-                # align test features with available simulation snapshots
-                n_sim = next(iter(sim.values())).shape[0]
-                woven[s] = woven[s][:n_sim]
+                # Align features ↔ labels on BOTH the realization (axis 0)
+                # and time (axis 1) axes. The reference zero-pads/trims only
+                # axis 0 (ref srm_data_processing.py:552-572); trimming both
+                # sides to the common (K, T) is the deviation here — zero
+                # padding would fabricate feature samples whose normalized
+                # channels are garbage. Dropped extents are logged.
+                from srm_tpu.data.weave import align_and_trim_pair_lists
+                fk, fT = woven[s].shape[:2]
+                lk, lT = next(iter(sim.values())).shape[:2]
+                if (fk, fT) != (lk, lT):
+                    log.warning("split %r: aligning features (K=%d,T=%d) with "
+                                "labels (K=%d,T=%d) — trimming both to the "
+                                "common extent", s, fk, fT, lk, lT)
+                woven[s], sim = align_and_trim_pair_lists(woven[s], sim, dims=(0, 1),
+                                                          trim_target="both")
                 labels[s] = sim
-            elif physics:
-                labels[s] = self.zero_labels(woven[s])
             else:
                 labels[s] = self.zero_labels(woven[s])
 

@@ -306,6 +306,82 @@ def run_pipeline_for_directory(directory: str, shape=(39, 39, 1), keys=("PRESSUR
     return out or None
 
 
+# --------------------------------------------------------------------------
+# Array re-slicing stage (ref :325-433)
+# --------------------------------------------------------------------------
+def process_array(array, slices: Optional[Sequence[int]] = None, slice_dim: int = 1,
+                  reshape_dims: Optional[Tuple[int, ...]] = (0, 1),
+                  dtype=np.float32) -> np.ndarray:
+    """Select time indices along ``slice_dim`` and merge the ``reshape_dims``
+    axes into one (the reference's post-parse re-slicing stage,
+    ref simulation_data_process_pipeline.py:325-364: np.take + axis merge)."""
+    arr = np.asarray(array, dtype=dtype)
+    if slices is not None and len(slices) > 0:
+        arr = np.take(arr, indices=list(slices), axis=slice_dim)
+    if reshape_dims:
+        axes = sorted(set(d % arr.ndim for d in reshape_dims))
+        if len(axes) > 1:
+            if axes != list(range(axes[0], axes[-1] + 1)):
+                raise ValueError(f"reshape_dims must be contiguous, got {reshape_dims}")
+            shape = list(arr.shape)
+            merged = int(np.prod([shape[a] for a in axes]))
+            new_shape = shape[: axes[0]] + [merged] + shape[axes[-1] + 1:]
+            arr = arr.reshape(new_shape)
+    return arr
+
+
+def process_file_data(file_path: str, keys: Sequence[str] = ("PRESSURE", "SGAS"),
+                      exclusions: Sequence[str] = ("PERMX", "PERMY", "PERMZ", "PORO"),
+                      slices=None, slice_dim: int = 1,
+                      reshape_dims: Optional[Tuple[int, ...]] = (0, 1),
+                      dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Apply :func:`process_array` to selected keys of an .npz/.json file
+    (ref :366-404)."""
+    if file_path.endswith(".json"):
+        with open(file_path) as f:
+            data = {k: np.asarray(v) for k, v in json.load(f).items()}
+    else:
+        with np.load(file_path, allow_pickle=True) as z:
+            data = {k: z[k] for k in z.files}
+    out: Dict[str, np.ndarray] = {}
+    for key in keys:
+        if key not in data:
+            log.info("Key %r not found in %s — skipping.", key, file_path)
+            continue
+        if key in exclusions:
+            log.info("Key %r is excluded — skipping.", key)
+            continue
+        out[key] = process_array(data[key], slices=slices, slice_dim=slice_dim,
+                                 reshape_dims=reshape_dims, dtype=dtype)
+    return out
+
+
+def run_array_pipeline(config: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Config-driven re-slicing over a parsed-results file (ref :404-433):
+    pick the combined npz (or a named file) from ``directory``, select time
+    indices with ``slices`` along ``slice_dim``, and merge ``reshape_dims``."""
+    directory = config["directory"]
+    ext = config.get("ext", ".npz")
+    file_name = config.get("file")
+    if file_name:
+        file_path = os.path.join(directory, file_name)
+    else:
+        cands = sorted(f for f in os.listdir(directory) if f.endswith(ext))
+        if not cands:
+            raise FileNotFoundError(f"No {ext} file in {directory}")
+        file_path = os.path.join(directory, cands[0])
+    out = process_file_data(
+        file_path,
+        keys=config.get("keys", ("PRESSURE", "SGAS")),
+        exclusions=config.get("exclusions", ("PERMX", "PERMY", "PERMZ", "PORO")),
+        slices=config.get("slices"), slice_dim=config.get("slice_dim", 1),
+        reshape_dims=tuple(config["reshape_dims"]) if config.get("reshape_dims") else None,
+        dtype=config.get("dtype", np.float32))
+    if not out:
+        raise ValueError(f"No arrays processed from {file_path}")
+    return out
+
+
 def run_pipeline_from_config(config: Dict[str, Any]) -> Optional[Dict[str, np.ndarray]]:
     """Config-driven orchestrator (ref :804-836)."""
     sim = config.get("simulation_pipeline", {})
@@ -317,10 +393,21 @@ def run_pipeline_from_config(config: Dict[str, Any]) -> Optional[Dict[str, np.nd
                 with np.load(cached) as z:
                     return {k: z[k] for k in z.files}
         return None
-    return run_pipeline_for_directory(
+    ap = config.get("array_pipeline", {}) or {}
+    data = run_pipeline_for_directory(
         sim["input_folder"], shape=sim.get("shape"),
-        keys=tuple(config.get("array_pipeline", {}).get("keys", ("PRESSURE", "SGAS"))),
+        keys=tuple(ap.get("keys", ("PRESSURE", "SGAS"))),
         parallel=sim.get("parallel", False), max_workers=sim.get("max_workers", 4),
         combined_filename=sim.get("combined_filename", "combined_results.npz"),
         file_vectors=sim.get("file_vectors"),
     )
+    if data is None:
+        return None
+    # optional re-slicing stage (time-index selection + axis merge, ref :404-433)
+    if ap.get("slices") is not None or ap.get("reshape_dims"):
+        data = {k: process_array(v, slices=ap.get("slices"),
+                                 slice_dim=ap.get("slice_dim", 1),
+                                 reshape_dims=(tuple(ap["reshape_dims"])
+                                               if ap.get("reshape_dims") else None))
+                for k, v in data.items()}
+    return data

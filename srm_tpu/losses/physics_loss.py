@@ -69,6 +69,56 @@ EPSILON = 1e-7  # keras backend epsilon used in the truncation-error term
 LOSS_TERMS = ("dom", "dbc", "nbc", "ibc", "ic", "mbc", "cmbc", "tde", "td")
 
 
+def dg_residual_from_fields(p0: Array, p1: Array, invBg0: Array, invBg1: Array,
+                            invug1: Array, dinvBg0: Array, q1c: Array,
+                            q_well: Array, kx_c: Array, phi_c: Array,
+                            t1: Array, t2: Array, krgo: Array,
+                            C: float, D: float, dx: float, dy: float, dz: float,
+                            Sgi: float) -> Tuple[Array, Array, Array, Array]:
+    """Dry-gas FV residual from explicit (B, H, W) fields → (dom, ibc, mbc, tde).
+
+    The stencil core of ``physics_error_gas_2D`` (ref physics_loss.py:126-206)
+    as a pure function of fields — shared by :meth:`PhysicsLoss._residuals_dg`
+    and the TF-reference golden test (which feeds both implementations the
+    same synthetic fields).
+    """
+    dv = dx * dy * dz
+    kfaces = harmonic_faces(neighbors(pad_symmetric(kx_c)))
+    kx_ih, kx_i_h, ky_jh, ky_j_h = kfaces
+    cf = 97.32e-6 / (1.0 + 55.8721 * phi_c**1.428586)          # (ref :64)
+
+    pn = neighbors(pad_symmetric(p1))
+    bgug1 = neighbors(pad_symmetric(invBg1 * invug1))
+    bgug_ih, bgug_i_h, bgug_jh, bgug_j_h = average_faces(bgug1)
+
+    cr0 = phi_c * cf * invBg0                                  # (ref :147-150)
+    cp1 = Sgi * (phi_c * dinvBg0 + cr0)
+
+    inv_dxx = 1.0 / (dx * dx)
+    inv_dyy = 1.0 / (dy * dy)
+    a1 = C * kx_i_h * krgo * bgug_i_h * inv_dxx
+    a2 = C * ky_j_h * krgo * bgug_j_h * inv_dyy
+    a3 = C * kx_ih * krgo * bgug_ih * inv_dxx
+    a4 = C * ky_jh * krgo * bgug_jh * inv_dyy
+    a5 = (1.0 / D) * (cp1 / t1)
+
+    # extrapolated p at n2 and Richardson truncation error (ref :126,:171)
+    p2 = (p1 - p0) * (1.0 + t2 / jnp.maximum(t1, 1e-12)) + p0
+    trn_err = (dv / D) * cp1 * (
+        2.0 * EPSILON / t1
+        + (t2 * p0 + t1 * p2 - (t1 + t2) * p1) / (t1 * t2 + t2**2))
+
+    dom_divq = five_point_divergence(a3, a1, a4, a2, pn, q1c / dv, dv)
+    dom_acc = dv * a5 * (p1 - p0)
+    dom = dom_divq + dom_acc                                   # tde kept separate
+    ibc = q_well * dom_divq                                    # (ref :189)
+
+    mbc = (-jnp.sum(q1c, axis=(1, 2))
+           - jnp.sum(dv * Sgi * phi_c * (invBg1 - invBg0)
+                     / (D * t1), axis=(1, 2)))
+    return dom, ibc, mbc, trn_err
+
+
 class PhysicsLoss:
     """Composes the model map into PDE residual losses with per-model grads.
 
@@ -198,6 +248,8 @@ class PhysicsLoss:
             if self.Nz > 1:
                 return self._residuals_dg_3d(params, x)
             return self._residuals_dg(params, x)
+        if self.Nz > 1:
+            return self._residuals_gc_3d(params, x)
         return self._residuals_gc(params, x)
 
     def _static_fields(self, x: Array):
@@ -214,11 +266,16 @@ class PhysicsLoss:
     def _residuals_dg(self, params, x: Array) -> Dict[str, Any]:
         """Dry-gas residual (ref physics_loss.py:79-227)."""
         C, D = self.C, self.D
-        kx_c, phi_c, _, dv, kfaces, cf = self._static_fields(x)
-        kx_ih, kx_i_h, ky_jh, ky_j_h = kfaces
+        kx_c = self._denorm_permx(x[:, 0, :, :, 4])            # (B, H, W)
+        phi_c = jnp.full_like(kx_c, self.phi0)
         q_well = jnp.asarray(self.q_well_idx)
 
         # ---- adaptive time step (Model 2) ----------------------------------
+        # Δt is the PER-SAMPLE spatial mean of the Model-2 field, exactly the
+        # reference's ``tf.reduce_mean(fac_n0[0], axis=[1,2,3], keepdims=True)``
+        # (ref physics_loss.py:102,122 — batch axis 0 is retained). Because no
+        # cross-sample reduction exists, the residual is invariant to how the
+        # batch axis is sharded over the mesh.
         # The n1 features depend only on Model 2's Δt at n0, so the two
         # pressure/PVT forwards are independent given Δt: run them as ONE
         # doubled-batch forward (half the op dispatches, better MXU/VPU
@@ -274,40 +331,11 @@ class PhysicsLoss:
                             "q": q1, "pwf": pwf1},
             }
 
-        pn = neighbors(pad_symmetric(p1))
-        bgug1 = neighbors(pad_symmetric(invBg1 * invug1))
-        bgug_ih, bgug_i_h, bgug_jh, bgug_j_h = average_faces(bgug1)
-
         # constant DG relperm at Sgi (ref :129)
         _, krgo = self.relperm(jnp.asarray(self.Sgi))
-
-        # rock + fluid compressibility term (ref :149-150)
-        cr0 = phi_c * cf * invBg0
-        cp1 = self.Sgi * (phi_c * dinvBg0 + cr0)
-
-        inv_dxx = 1.0 / (self.dx * self.dx)
-        inv_dyy = 1.0 / (self.dy * self.dy)
-        a1 = C * kx_i_h * krgo * bgug_i_h * inv_dxx
-        a2 = C * ky_j_h * krgo * bgug_j_h * inv_dyy
-        a3 = C * kx_ih * krgo * bgug_ih * inv_dxx
-        a4 = C * ky_jh * krgo * bgug_jh * inv_dyy
-        a5 = (1.0 / D) * (cp1 / t1)
-
-        # extrapolated p at n2 and Richardson truncation error (ref :126,:171)
-        p2 = (p1 - p0) * (1.0 + t2 / jnp.maximum(t1, 1e-12)) + p0
-        trn_err = (dv / D) * cp1 * (
-            2.0 * EPSILON / t1
-            + (t2 * p0 + t1 * p2 - (t1 + t2) * p1) / (t1 * t2 + t2**2))
-
-        dom_divq = five_point_divergence(a3, a1, a4, a2, pn, q1c / dv, dv)
-        dom_acc = dv * a5 * (p1 - p0)
-        dom = dom_divq + dom_acc                     # tde kept separate
-        ibc = q_well * dom_divq                      # (ref :189)
-
-        # tank material balance (ref :193)
-        mbc = (-jnp.sum(q1c, axis=(1, 2))
-               - jnp.sum(dv * self.Sgi * phi_c * (invBg1 - invBg0)
-                         / (D * t1), axis=(1, 2)))
+        dom, ibc, mbc, trn_err = dg_residual_from_fields(
+            p0, p1, invBg0, invBg1, invug1, dinvBg0, q1c, q_well, kx_c, phi_c,
+            t1, t2, krgo, C, D, self.dx, self.dy, self.dz, self.Sgi)
 
         zeros = jnp.zeros_like(dom)
         return {
@@ -570,6 +598,173 @@ class PhysicsLoss:
             "outputs": out,
         }
 
+    def _residuals_gc_3d(self, params, x: Array) -> Dict[str, Any]:
+        """Full-3D gas-condensate residual with z-direction fluxes.
+
+        NEW capability: the reference's GC residual is 2D-only
+        (``physics_error_gas_oil_2D``, ref physics_loss.py:230-712); this
+        extends the 4-flux (gg/go/oo/og) upstream-weighted math to a 7-point
+        stencil with vertical permeability kz = vertical_anisotropy · kx,
+        mirroring ``_residuals_dg_3d``. Fields are (B, D, H, W).
+        """
+        from srm_tpu.ops.stencil import (
+            average_faces_3d, harmonic_faces_3d, neighbors_3d, pad_symmetric_3d,
+            seven_point_divergence, upstream_faces_3d,
+        )
+        C, D = self.C, self.D
+        sq3 = lambda f: f[..., 0]                              # noqa: E731
+        kx_c = self._denorm_permx(x[..., 4])                   # (B, D, H, W)
+        phi_c = jnp.full_like(kx_c, self.phi0)
+        kn = neighbors_3d(pad_symmetric_3d(kx_c))
+        kzn = neighbors_3d(pad_symmetric_3d(self.kv_kh * kx_c))
+        kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h = harmonic_faces_3d(kn, kzn)
+        dv = self.dx * self.dy * self.dz
+        cf = 97.32e-6 / (1.0 + 55.8721 * phi_c**1.428586)
+        q_well = jnp.asarray(self.q_well_idx)
+
+        # ---- forwards (doubled-batch over the two time levels) -------------
+        m = self.models
+        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
+        dt_norm = self._norm_dt(tstep)
+        x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
+        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
+
+        B = x.shape[0]
+        x01 = jnp.concatenate([x, x1], axis=0)
+        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
+        Sg01 = jnp.clip(m["saturation_model"].apply(params["saturation_model"], x01,
+                                                    training=True), 0.0, self.Sgi)
+        pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
+        p0f, p1f = p01[:B], p01[B:]
+        Sg0f, Sg1f = Sg01[:B], Sg01[B:]
+        pvt0, pvt1 = pvt01[:, :, :B], pvt01[:, :, B:]
+
+        well = m["well_rate_bhp_model"]
+        pvt_fn = lambda p: m["pvt_model"].apply(params["pvt_model"], p)  # noqa: E731
+        (qfg1, qdg1, qfo1, qvo1), pwf1 = well.compute_rates_and_bhp(
+            x1, p1f, Sg1f, relperm_model=self.relperm, model_PVT=pvt_fn)
+
+        p0, p1 = sq3(p0f), sq3(p1f)
+        Sg0, Sg1 = sq3(Sg0f), sq3(Sg1f)
+        So0 = 1.0 - self.Swmin - Sg0
+        So1 = 1.0 - self.Swmin - Sg1
+        t1 = tstep.reshape((B,) + (1,) * (p0.ndim - 1))
+        t2 = tstep2.reshape((B,) + (1,) * (p0.ndim - 1))
+
+        def props(pvt):
+            return tuple(sq3(pvt[0, i]) for i in range(6))
+
+        invBg0, invBo0, invug0, invuo0, Rs0, Rv0 = props(pvt0)
+        invBg1, invBo1, invug1, invuo1, Rs1, Rv1 = props(pvt1)
+        dinvBg0, dinvBo0 = sq3(pvt0[1, 0]), sq3(pvt0[1, 1])
+        dRs0, dRv0 = sq3(pvt0[1, 4]), sq3(pvt0[1, 5])
+
+        # surface-mass accumulations m_g, m_o (ref :419-427)
+        RsinvBo0, RvinvBg0 = Rs0 * invBo0, Rv0 * invBg0
+        RsinvBo1, RvinvBg1 = Rs1 * invBo1, Rv1 * invBg1
+        mg0 = phi_c * (invBg0 * Sg0 + RsinvBo0 * So0)
+        mo0 = phi_c * (invBo0 * So0 + RvinvBg0 * Sg0)
+        mg1 = phi_c * (invBg1 * Sg1 + RsinvBo1 * So1)
+        mo1 = phi_c * (invBo1 * So1 + RvinvBg1 * Sg1)
+        ratio = 1.0 + t2 / jnp.maximum(t1, 1e-12)
+        mg2 = (mg1 - mg0) * ratio + mg0
+        mo2 = (mo1 - mo0) * ratio + mo0
+
+        rte = EPSILON * 0.25
+        denom_t = t1 * t2 + t2**2
+        trn_g = (dv / D) * (rte / t1 + (t2 * mg0 + t1 * mg2 - (t1 + t2) * mg1) / denom_t)
+        trn_o = (dv / D) * (rte / t1 + (t2 * mo0 + t1 * mo2 - (t1 + t2) * mo1) / denom_t)
+
+        # relperm at n1 + upstream weighting over the six faces
+        krog1_full, krgo1_full = self.relperm(Sg1)
+        pn = neighbors_3d(pad_symmetric_3d(p1))
+        kgo = upstream_faces_3d(neighbors_3d(pad_symmetric_3d(krgo1_full)), pn)
+        kog = upstream_faces_3d(neighbors_3d(pad_symmetric_3d(krog1_full)), pn)
+
+        def favg(f):
+            return average_faces_3d(neighbors_3d(pad_symmetric_3d(f)))
+
+        bgug = favg(invBg1 * invug1)
+        bouo = favg(invBo1 * invuo1)
+        rvbgug = favg(Rv1 * invBg1 * invug1)
+        rsbouo = favg(Rs1 * invBo1 * invuo1)
+
+        # chord-slope saturation derivatives (ref :465-468)
+        dp = p1 - p0
+        safe_dp = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
+        d_Sg = jnp.where(jnp.abs(dp) > 0, (Sg1 - Sg0) / safe_dp, 0.0)
+        d_So = jnp.where(jnp.abs(dp) > 0, (So1 - So0) / safe_dp, 0.0)
+
+        d_invBg = dinvBg0
+        d_invBo = dinvBo0
+        d_RsinvBo = Rs0 * dinvBo0 + invBo0 * dRs0
+        d_RvinvBg = Rv0 * dinvBg0 + invBg0 * dRv0
+
+        cprgg = phi_c * cf * invBg0
+        cprgo = phi_c * cf * RsinvBo0
+        cproo = phi_c * cf * invBo0
+        cprog = phi_c * cf * RvinvBg0
+
+        inv_dxx = 1.0 / (self.dx * self.dx)
+        inv_dyy = 1.0 / (self.dy * self.dy)
+        inv_dzz = 1.0 / (self.dz * self.dz)
+        kfaces = (kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h)
+        inv_d = (inv_dxx, inv_dxx, inv_dyy, inv_dyy, inv_dzz, inv_dzz)
+
+        def trans(kr_faces, prop_faces):
+            return tuple(C * kf * kr * pr * iv
+                         for kf, kr, pr, iv in zip(kfaces, kr_faces, prop_faces, inv_d))
+
+        agg = trans(kgo, bgug)
+        ago = trans(kog, rsbouo)
+        aoo = trans(kog, bouo)
+        aog = trans(kgo, rvbgug)
+
+        inv_Dt = 1.0 / (D * t1)
+        cpgg = inv_Dt * (phi_c * invBg1 * d_Sg + Sg0 * (phi_c * d_invBg + cprgg)) * dp
+        cpgo = inv_Dt * (phi_c * RsinvBo1 * d_So + So0 * (phi_c * d_RsinvBo + cprgo)) * dp
+        cpoo = inv_Dt * (phi_c * invBo1 * d_So + So0 * (phi_c * d_invBo + cproo)) * dp
+        cpog = inv_Dt * (phi_c * RvinvBg1 * d_Sg + Sg0 * (phi_c * d_RvinvBg + cprog)) * dp
+
+        qfg1c, qdg1c = sq3(qfg1), sq3(qdg1)
+        qfo1c, qvo1c = sq3(qfo1), sq3(qvo1)
+
+        def div7(a, q):
+            return seven_point_divergence(a[0], a[1], a[2], a[3], a[4], a[5],
+                                          pn, q / dv, dv)
+
+        dom_divq_gg = div7(agg, qfg1c)
+        dom_divq_go = div7(ago, qdg1c)
+        dom_divq_oo = div7(aoo, qfo1c)
+        dom_divq_og = div7(aog, qvo1c)
+
+        dom_g = (dom_divq_gg + dv * cpgg) + (dom_divq_go + dv * cpgo)
+        dom_o = (dom_divq_oo + dv * cpoo) + (dom_divq_og + dv * cpog)
+        ibc = q_well * ((dom_divq_gg + dom_divq_go) + (dom_divq_oo + dom_divq_og))
+
+        red_axes = tuple(range(1, qfg1c.ndim))
+        mbc_gg = dv * inv_Dt * phi_c * (Sg1 * invBg1 - Sg0 * invBg0)
+        mbc_go = dv * inv_Dt * phi_c * (So1 * RsinvBo1 - So0 * RsinvBo0)
+        mbc_oo = dv * inv_Dt * phi_c * (So1 * invBo1 - So0 * invBo0)
+        mbc_og = dv * inv_Dt * phi_c * (Sg1 * RvinvBg1 - Sg0 * RvinvBg0)
+        mbc_g = (-jnp.sum(qfg1c + qdg1c, axis=red_axes)
+                 - jnp.sum(mbc_gg + mbc_go, axis=red_axes))
+        mbc_o = (-jnp.sum(qfo1c + qvo1c, axis=red_axes)
+                 - jnp.sum(mbc_oo + mbc_og, axis=red_axes))
+
+        zeros = jnp.zeros_like(dom_g)
+        out = {"p_n0": p0f, "p_n1": p1f, "Sg_n0": Sg0f, "Sg_n1": Sg1f,
+               "tstep": tstep, "q": (qfg1, qdg1, qfo1, qvo1), "pwf": pwf1}
+        return {
+            "gas": {"dom": dom_g, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                    "mbc": mbc_g, "cmbc": zeros, "tde": trn_g},
+            "oil": {"dom": dom_o, "dbc": zeros, "nbc": zeros, "ibc": ibc, "ic": zeros,
+                    "mbc": mbc_o, "cmbc": zeros, "tde": trn_o},
+            "outputs": out,
+        }
+
     # ------------------------------------------------------------------
     # loss + gradients (ref pinn_batch_sse_grad, physics_loss.py:742-870)
     # ------------------------------------------------------------------
@@ -580,8 +775,25 @@ class PhysicsLoss:
         return [y]
 
     def loss_and_metrics(self, params, x: Array, y) -> Tuple[Array, Dict]:
-        """Total weighted SSE + per-term aux (pure function; jit-safe)."""
+        """Total weighted SSE + per-term aux (pure function; jit-safe).
+
+        ``physics_mode_fraction`` semantics (DOCUMENTED DEVIATION):
+
+        * ``f >= 1``  — pure physics (labels ignored; td weight from config,
+          0 by default). Matches the reference.
+        * ``f == 0``  — pure data (physics residuals are not evaluated;
+          the td weight defaults to 1 when the physics-mode default of 0
+          would zero the loss). Matches the reference's
+          ``zeros_like_pinn_error`` path (ref physics_loss.py:716-729).
+        * ``0 < f < 1`` — a TRUE mixed mode: physics-term weights are scaled
+          by ``f`` and the td weight by ``1 - f``. The reference degenerates
+          to pure data mode for any fraction below 1
+          (ref training.py:605 unpacks every f<1 as data mode), so this is
+          new capability, covered by ``tests/test_modes.py``.
+        """
         physics = self.physics_mode_fraction >= 1.0
+        f = min(max(self.physics_mode_fraction, 0.0), 1.0)
+        mixed = 0.0 < f < 1.0
         phases = ("gas",) if self.fluid_type == "DG" else ("gas", "oil")
 
         if physics or self.physics_mode_fraction > 0.0:
@@ -618,9 +830,13 @@ class PhysicsLoss:
                         # td weight to 1 when the physics-mode default (0)
                         # would zero the entire loss
                         w = 1.0
+                    if mixed:
+                        w = w * (1.0 - f)
                 else:
                     err = res[ph][t]
                     w = self.weights[ph][t]
+                    if mixed:
+                        w = w * f
                 sse = jnp.sum(jnp.square(err))
                 count = jnp.asarray(np.prod(err.shape) if err.ndim else 1, jnp.float32)
                 wsse = w * sse
@@ -630,8 +846,18 @@ class PhysicsLoss:
         return total, aux
 
     def pinn_batch_sse_grad(self, params, x: Array, y):
-        """(wmse, grads-per-optimizer-key, wsse_total, error_counts, y_model)
-        — the contract the training loop consumes (ref training.py:603-652).
+        """Returns ``(aux, grads_by_key, total)``:
+
+        * ``aux`` — per-phase per-term weighted MSE dict plus ``outputs``
+          (p_n0/p_n1/tstep/q/pwf fields), covering the reference 5-tuple's
+          ``wmse``/``y_model`` roles (ref training.py:603-652);
+        * ``grads_by_key`` — gradient of the total weighted loss w.r.t. each
+          trainable model's params, keyed by optimizer key (the reference's
+          ``wmse_grad`` as actually consumed at ref training.py:643-652);
+        * ``total`` — the total weighted SSE (the reference's ``wsse``).
+
+        The reference's separate ``error_count`` return is subsumed by the
+        per-term counts already folded into ``aux``'s MSE normalization.
         """
         (total, aux), grads = jax.value_and_grad(self.loss_and_metrics, has_aux=True)(
             params, x, y)

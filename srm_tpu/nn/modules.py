@@ -126,6 +126,51 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     )
 
 
+def build_saturation_model(name: str = "saturation_model",
+                           general_config: Optional[Dict] = None,
+                           reservoir_config: Optional[Dict] = None,
+                           scal_config: Optional[Dict] = None) -> CompleteTrainableModule:
+    """Model 1S: the GC gas-saturation encoder–decoder.
+
+    The reference builds this with the same helper as the pressure model
+    (ref training_case_dry_gas_i.py:303-305), inheriting the PRESSURE
+    initial value Pi for the HardLayer — which pins the output at ~Pi and,
+    once clamped to the physical [0, Sgi] range, kills every saturation
+    gradient (the model can never train). Fixed here: the hard initial
+    condition is Sg(t=0) = Sgi = 1 − Swmin, and the net output passes
+    through softplus so saturation monotonically *departs* from Sgi with
+    time (liquid dropout) while staying inside the clamp.
+    """
+    from srm_tpu.config import DEFAULT_SCAL_CONFIG
+    g = general_config or DEFAULT_GENERAL_CONFIG
+    res = reservoir_config or DEFAULT_RESERVOIR_CONFIG
+    scal = scal_config or DEFAULT_SCAL_CONFIG
+    ed = get_configuration("encoder_decoder")
+    ed["spatial_dims"] = 3 if res.get("Nz", 1) > 1 else 2
+    ed["temporal"] = True
+    ed["residual_params"]["Extra_Conv_Layers"]["Count"] = 2
+    ed["residual_params"]["Extra_Dec_Conv_Layers"]["Count"] = 2
+    ed["residual_params"]["Latent_Layer"]["Depth"] = 1
+    ed["residual_params"]["Latent_Layer"]["Activation"] = None
+    ed["residual_params"]["Out_Activation_Func"] = None
+    ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
+    ed["compute_dtype"] = g.get("compute_dtype")
+
+    hard = get_configuration("hard_layer")
+    hard["init_value"] = 1.0 - scal["end_points"]["Swmin"]
+    hard["kernel_activation"] = None
+    hard["input_activation"] = "softplus"
+    hard["kernel_exponent_config"]["initial_value"] = 0.5
+    hard["kernel_exponent_config"]["min_value"] = 0.1
+    hard["kernel_exponent_config"]["max_value"] = 1.0
+
+    return CompleteTrainableModule(
+        network=EncoderDecoderModel.from_config(ed),
+        hard_layer=HardLayer.from_config(hard, fluid_type="GC"),
+        name=name,
+    )
+
+
 def build_time_step_model(name: str = "residual_network_only",
                           general_config: Optional[Dict] = None,
                           reservoir_config: Optional[Dict] = None) -> CompleteTrainableModule:
@@ -211,8 +256,8 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     params["well_rate_bhp_model"] = {}
 
     if fluid_type == "GC":
-        sat = build_pressure_model(name="saturation_model", general_config=g,
-                                   reservoir_config=reservoir_config)
+        sat = build_saturation_model(general_config=g,
+                                     reservoir_config=reservoir_config)
         models["saturation_model"] = sat
         params["saturation_model"] = sat.init(k_sat, sample)
 

@@ -135,6 +135,18 @@ def harmonic_faces_3d(k: Neighbors3D, kz: Neighbors3D):
     return kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h
 
 
+def upstream_faces_3d(kr: Neighbors3D, pot: Neighbors3D):
+    """Upstream-weighted face relperm from potential differences at the six
+    faces (3D extension of ``upstream_faces``; ref :537-551)."""
+    kr_ih = jnp.where(pot.i1 - pot.ij <= 0.0, kr.ij, kr.i1)
+    kr_i_h = jnp.where(pot.ij - pot.i_1 <= 0.0, kr.ij, kr.i_1)
+    kr_jh = jnp.where(pot.j1 - pot.ij <= 0.0, kr.ij, kr.j1)
+    kr_j_h = jnp.where(pot.ij - pot.j_1 <= 0.0, kr.ij, kr.j_1)
+    kr_kh = jnp.where(pot.k1 - pot.ij <= 0.0, kr.ij, kr.k1)
+    kr_k_h = jnp.where(pot.ij - pot.k_1 <= 0.0, kr.ij, kr.k_1)
+    return kr_ih, kr_i_h, kr_jh, kr_j_h, kr_kh, kr_k_h
+
+
 def average_faces_3d(f: Neighbors3D):
     return (0.5 * (f.i1 + f.ij), 0.5 * (f.ij + f.i_1),
             0.5 * (f.j1 + f.ij), 0.5 * (f.ij + f.j_1),

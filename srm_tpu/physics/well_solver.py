@@ -67,10 +67,10 @@ def solve_newton(cost: Callable[[Array], Array], ref: Array, max_iters: int = 20
     return jax.lax.fori_loop(0, max_iters, body, x0)
 
 
-def solve_chandrupatla(cost: Callable[[Array], Array], ref: Array, max_iters: int = 20,
-                       tol: float = 1e-6, max_value: float = 1.0) -> Array:
-    """Bracketing root solve on [0, max_value] (simplified bisection form of
-    the reference's Chandrupatla solver, :281-324)."""
+def solve_bisection(cost: Callable[[Array], Array], ref: Array, max_iters: int = 20,
+                    tol: float = 1e-6, max_value: float = 1.0) -> Array:
+    """Plain bisection on [0, max_value] — the robust fallback solver (and the
+    baseline the Chandrupatla convergence test compares against)."""
     lo = jnp.zeros_like(ref)
     hi = jnp.ones_like(ref) * max_value
     f_lo = cost(lo)
@@ -89,6 +89,71 @@ def solve_chandrupatla(cost: Callable[[Array], Array], ref: Array, max_iters: in
     return 0.5 * (lo + hi)
 
 
+def solve_chandrupatla(cost: Callable[[Array], Array], ref: Array, max_iters: int = 20,
+                       tol: float = 1e-6, max_value: float = 1.0) -> Array:
+    """Chandrupatla's bracketing root solve on [0, max_value].
+
+    The genuine algorithm (Chandrupatla 1997): inverse-quadratic
+    interpolation when the bracket geometry admits it, bisection otherwise —
+    superlinear convergence for smooth costs while keeping bisection's
+    robustness. This improves on the reference's solver
+    (ref well_rate_bhp_Subclassed.py:281-324), which is a bracket-maintained
+    secant, and on round-1's plain bisection. Vectorized element-wise and
+    written as a fixed-trip ``lax.fori_loop`` (jit/vmap/grad-safe); converged
+    lanes freeze via the t-clamp.
+
+    If no sign change exists on the interval, the returned point is the
+    bracket end with the smaller |cost| (the physical saturation root then
+    sits at a bound).
+    """
+    tiny = 1e-30
+
+    def safe(d):
+        return jnp.where(jnp.abs(d) > tiny, d, jnp.where(d >= 0, tiny, -tiny))
+
+    b = jnp.zeros_like(ref)                    # bracket ends: b and a
+    a = jnp.ones_like(ref) * max_value
+    fb = cost(b)
+    fa = cost(a)
+    no_bracket = jnp.sign(fa) == jnp.sign(fb)
+    best_end = jnp.where(jnp.abs(fa) <= jnp.abs(fb), a, b)
+    c, fc = b, fb
+    t = jnp.full_like(ref, 0.5)
+
+    def body(_, st):
+        a, b, c, fa, fb, fc, t = st
+        xt = a + t * (b - a)
+        ft = cost(xt)
+        # bracket update (scipy-style bookkeeping): xt replaces a; the old a
+        # moves to b when the sign flipped, otherwise to c
+        same = jnp.sign(ft) == jnp.sign(fa)
+        c_n = jnp.where(same, a, b)
+        fc_n = jnp.where(same, fa, fb)
+        b_n = jnp.where(same, b, a)
+        fb_n = jnp.where(same, fb, fa)
+        a_n, fa_n = xt, ft
+        # inverse-quadratic step when the bracket is well shaped
+        xi = (a_n - b_n) / safe(c_n - b_n)
+        phi = (fa_n - fb_n) / safe(fc_n - fb_n)
+        iqi_ok = jnp.logical_and(phi**2 < xi, (1.0 - phi) ** 2 < 1.0 - xi)
+        t_iqi = (fa_n / safe(fb_n - fa_n)) * (fc_n / safe(fb_n - fc_n)) \
+            + ((c_n - a_n) / safe(b_n - a_n)) * (fa_n / safe(fc_n - fa_n)) \
+            * (fb_n / safe(fc_n - fb_n))
+        t_n = jnp.where(iqi_ok, t_iqi, 0.5)
+        # clamp away from the bracket ends; converged lanes get t → 0 (the
+        # next xt stays at a, freezing the lane)
+        tlim = tol / jnp.maximum(jnp.abs(b_n - a_n), tiny)
+        done = jnp.abs(b_n - a_n) <= tol
+        t_n = jnp.where(done, 0.0, jnp.clip(t_n, jnp.minimum(tlim, 0.5),
+                                            1.0 - jnp.minimum(tlim, 0.5)))
+        return a_n, b_n, c_n, fa_n, fb_n, fc_n, t_n
+
+    a, b, _, fa, fb, _, _ = jax.lax.fori_loop(0, max_iters, body,
+                                              (a, b, c, fa, fb, fc, t))
+    return jnp.where(no_bracket, best_end,
+                     jnp.where(jnp.abs(fa) <= jnp.abs(fb), a, b))
+
+
 class WellRatesPressure:
     """Non-trainable well rate/BHP "model"."""
 
@@ -99,7 +164,8 @@ class WellRatesPressure:
                  reservoir_config: Optional[Dict] = None, general_config: Optional[Dict] = None,
                  wells_config: Optional[Dict] = None, scal_config: Optional[Dict] = None,
                  data_summary=None, pvt_fn: Optional[Callable[[Array], Array]] = None,
-                 relperm: Optional[RelativePermeability] = None):
+                 relperm: Optional[RelativePermeability] = None,
+                 log_iterations: bool = False, log_dir: str = "/tmp/srm_tpu_logs"):
         self.use_blocking_factor = use_blocking_factor
         self.solver = solver
         self.n_intervals = n_intervals
@@ -108,6 +174,8 @@ class WellRatesPressure:
         self.tol = tol
         self.compute_mo = compute_mo
         self.use_non_iterative = use_non_iterative
+        self.log_iterations = log_iterations
+        self.log_dir = log_dir
 
         self.reservoir_config = reservoir_config or DEFAULT_RESERVOIR_CONFIG
         self.general_config = general_config or DEFAULT_GENERAL_CONFIG
@@ -187,6 +255,8 @@ class WellRatesPressure:
             else:
                 if self.solver == "newton":
                     Sg1 = solve_newton(cost, Sg_n1, self.n_root_iter, max_value=self.Sg_max)
+                elif self.solver == "bisection":
+                    Sg1 = solve_bisection(cost, Sg_n1, self.n_root_iter, max_value=self.Sg_max)
                 else:
                     Sg1 = solve_chandrupatla(cost, Sg_n1, self.n_root_iter, max_value=self.Sg_max)
                 Sg1 = jnp.where(krog_n1 < 1e-3, jnp.ones_like(Sg1) * self.Sg_max, Sg1)
@@ -245,12 +315,28 @@ class WellRatesPressure:
         lam = jnp.where(denom != 0, qg_opt / (denom + 1e-12), 0.0)
         lam = jnp.clip(lam, 0.0, blk_g_max)
         pwf = p_n1 - lam * dp_max
-        return self.well_id * jnp.clip(pwf, min_bhp, p_n1)
+        pwf = self.well_id * jnp.clip(pwf, min_bhp, p_n1)
+        if self.log_iterations:
+            # λ_opt + final pwf dump, mirroring ref :712-719
+            from functools import partial
+            from srm_tpu.utils.profiling import log_tensor_to_file
+            jax.debug.callback(
+                partial(log_tensor_to_file, tensor_name="lambda_opt",
+                        file_prefix="lambda_non_iterative", well_specific=True,
+                        directory=self.log_dir),
+                lam[None], None, pwf)
+        return pwf
 
     def _iterative_method(self, p_n1, Sg_n1, mg_n1, mo_n1, Rv_n1, model_PVT,
                           relperm_model, Ck, q_target, min_bhp):
         """Newton on q(pwf)=q_target with finite-difference derivative
-        (ref :515-611); tolerance-gated ``lax.while_loop``."""
+        (ref :515-611); tolerance-gated ``lax.while_loop``.
+
+        With ``log_iterations=True`` the per-iteration pwf history is dumped
+        to a text file from inside the jitted program via
+        ``jax.debug.callback`` — the functional equivalent of the reference's
+        in-graph TensorArray logging (ref :600-603, log_tensor_to_file
+        :326-463)."""
         eps = jnp.asarray(14.7, p_n1.dtype)
 
         def qg_of(pwf):
@@ -258,19 +344,31 @@ class WellRatesPressure:
                                              model_PVT, relperm_model, Ck, q_target)[0]
 
         def cond(carry):
-            pwf, it = carry
+            pwf, it, _ = carry
             err = jnp.abs(qg_of(pwf) - q_target)
             return jnp.logical_and(it < self.max_iters, jnp.any(err > self.tol))
 
         def body(carry):
-            pwf, it = carry
+            pwf, it, hist = carry
             qg = qg_of(pwf)
             dq = (qg_of(pwf + eps) - qg) / eps
-            pwf_new = pwf - (qg - q_target) / (dq + 1e-12)
-            return jnp.clip(pwf_new, min_bhp, p_n1), it + 1
+            pwf_new = jnp.clip(pwf - (qg - q_target) / (dq + 1e-12), min_bhp, p_n1)
+            if hist is not None:
+                hist = jax.lax.dynamic_update_index_in_dim(hist, pwf_new, it, 0)
+            return pwf_new, it + 1, hist
 
         pwf0 = min_bhp + 0.5 * (p_n1 - min_bhp)
-        pwf, _ = jax.lax.while_loop(cond, body, (pwf0, jnp.asarray(0)))
+        hist0 = (jnp.zeros((self.max_iters,) + p_n1.shape, p_n1.dtype)
+                 if self.log_iterations else None)
+        pwf, it, hist = jax.lax.while_loop(cond, body, (pwf0, jnp.asarray(0), hist0))
+        if self.log_iterations:
+            from functools import partial
+            from srm_tpu.utils.profiling import log_tensor_to_file
+            jax.debug.callback(
+                partial(log_tensor_to_file, tensor_name="pwf_iterations",
+                        file_prefix="pwf_iterative", well_specific=True,
+                        directory=self.log_dir),
+                hist, it, pwf)
         return pwf
 
     # -- main entry (ref :727-837) -----------------------------------------------

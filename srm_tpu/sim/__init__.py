@@ -1,0 +1,61 @@
+"""On-device reference simulation (label generation without an external
+simulator binary).
+
+``simulate_labels(processor, split)`` plugs into
+``SRMDataProcessor.simulation_labels`` when
+``general_config['label_source'] == 'simulator'``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from srm_tpu.sim.fv_simulator import (
+    FVProblem, build_problem, simulate_dry_gas, simulate_realizations,
+)
+
+log = logging.getLogger(__name__)
+
+__all__ = ["FVProblem", "build_problem", "simulate_dry_gas",
+           "simulate_realizations", "simulate_labels"]
+
+
+def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
+                    times: Optional[np.ndarray] = None
+                    ) -> Optional[Dict[str, np.ndarray]]:
+    """PRESSURE labels (K, T, Nz, Ny, Nx) for one split via the FV simulator.
+
+    Dry-gas only: two-phase (GC) label generation would need a compositional
+    simulator; callers fall back to zero labels for GC.
+    """
+    if processor.general_config["fluid_type"].upper() != "DG":
+        log.warning("FV simulator labels are dry-gas only; returning None")
+        return None
+    from srm_tpu.config import DEFAULT_SCAL_CONFIG, get_configuration
+    from srm_tpu.physics.pvt import make_pvt_layer
+    import jax
+
+    if permx is None:
+        permx = processor.generate_kle_splits()[split]
+    if times is None:
+        times = processor.generate_time_tensor()[split]
+    times = np.asarray(times).reshape(-1)
+    if permx.shape[0] == 0 or times.size < 2:
+        return None   # empty split: caller falls back to zero labels
+
+    pvt_cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    pvt_cfg["spline_order"] = 1
+    layer = make_pvt_layer(pvt_cfg)
+    params = layer.init(jax.random.PRNGKey(0), np.zeros((4,), np.float32))
+    pvt_fn = lambda p: layer.apply(params, p)  # noqa: E731
+
+    prob, kscale = build_problem(processor.reservoir_config, processor.wells_config,
+                                 DEFAULT_SCAL_CONFIG, processor.general_config)
+    log.info("FV simulator: %d realizations × %d times on grid %s",
+             permx.shape[0], times.size, prob.shape)
+    p = simulate_realizations(prob, kscale, np.asarray(permx, np.float32),
+                              np.asarray(times, np.float32), pvt_fn)
+    return {"PRESSURE": np.asarray(p)}

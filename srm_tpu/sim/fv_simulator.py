@@ -1,0 +1,220 @@
+"""Implicit finite-volume dry-gas reference simulator (on-device label generator).
+
+NEW capability beyond the reference, which requires an EXTERNAL commercial
+simulator run and only parses its output files
+(``/root/reference/data_processing/srm_data_processing.py:454-514``). This
+module generates PRESSURE labels for any KLE realization directly on device,
+closing the simulator-label loop end-to-end: KLE fields → FV simulation →
+labels → data-mode training / pressure-RMSE evaluation, with no external
+binary.
+
+Discretization — deliberately the SAME finite-volume scheme as the physics
+loss (so a perfectly-trained surrogate zeroes the residual on these labels):
+
+* 5/7-point stencil with harmonic-mean inter-block permeability and
+  arithmetic face averages of ``invBg·invug`` (ref physics_loss.py:29-61,
+  147-148; ``srm_tpu.ops.stencil``);
+* accumulation ``(V/D)·Sgi·(φ·ΔinvBg/Δp + φ·cf·invBg)·Δp/Δt`` with the
+  chord-slope ΔinvBg/Δp (mass-conservative at convergence, and exactly the
+  loss's tank-MBC bookkeeping, ref :149-150,193);
+* Peaceman wells with rate targets clipped by the min-BHP drawdown bound and
+  shut-in windows (ref well_rate_bhp_Subclassed.py:613-724, the
+  non-iterative path);
+* backward-Euler in time, Picard-lagged coefficients, one dense
+  ``jnp.linalg.solve`` per Picard sweep (the grids are ≤ a few thousand
+  cells; a dense solve is a single fused MXU-friendly op, far faster under
+  XLA than any sparse scatter-gather iteration at this size).
+
+Everything is jit-compatible; realizations are ``vmap``-ed and time steps run
+under ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+log = logging.getLogger(__name__)
+
+
+class FVProblem(NamedTuple):
+    """Static problem description (shapes, geometry, wells) for the solver."""
+
+    shape: Tuple[int, int, int]          # (Nz, Ny, Nx)
+    face_pairs: np.ndarray               # (F, 2) flat cell indices per face
+    face_geom: np.ndarray                # (F,) C * A/d geometric factor
+    dv: float                            # cell volume dx*dy*dz
+    phi: float                           # porosity
+    Pi: float                            # initial pressure
+    Sgi: float                           # initial gas saturation
+    krgo: float                          # constant DG relperm at Sgi
+    D: float                             # volume conversion constant
+    well_cells: np.ndarray               # (W,) flat indices
+    q_target: np.ndarray                 # (W,) signed control rates
+    pwf_min: np.ndarray                  # (W,)
+    well_ck_geom: np.ndarray             # (W,) 2π·cr·dz·C / ln(ro/rw), kx factored out
+    shutin_windows: np.ndarray           # (W, S, 2)
+
+
+def _build_faces(Nz: int, Ny: int, Nx: int, dx: float, dy: float, dz: float,
+                 C: float, kv_kh: float = 1.0):
+    """Static face index pairs + geometric transmissibility factors."""
+    idx = np.arange(Nz * Ny * Nx).reshape(Nz, Ny, Nx)
+    pairs, geom, kscale = [], [], []
+    if Nx > 1:
+        a, b = idx[:, :, :-1].reshape(-1), idx[:, :, 1:].reshape(-1)
+        pairs.append(np.stack([a, b], 1))
+        geom.append(np.full(a.size, C * dy * dz / dx))
+        kscale.append(np.ones(a.size))
+    if Ny > 1:
+        a, b = idx[:, :-1, :].reshape(-1), idx[:, 1:, :].reshape(-1)
+        pairs.append(np.stack([a, b], 1))
+        geom.append(np.full(a.size, C * dx * dz / dy))
+        kscale.append(np.ones(a.size))
+    if Nz > 1:
+        a, b = idx[:-1, :, :].reshape(-1), idx[1:, :, :].reshape(-1)
+        pairs.append(np.stack([a, b], 1))
+        geom.append(np.full(a.size, C * dx * dy / dz))
+        kscale.append(np.full(a.size, kv_kh))   # vertical permeability scale
+    return (np.concatenate(pairs, 0), np.concatenate(geom, 0),
+            np.concatenate(kscale, 0))
+
+
+def build_problem(reservoir_config: Dict, wells_config: Dict, scal_config: Dict,
+                  general_config: Dict, relperm=None) -> Tuple[FVProblem, np.ndarray]:
+    """FVProblem from the standard config bundle. Returns (problem, kscale)."""
+    from srm_tpu.config import get_conversion_constants
+    from srm_tpu.physics.relperm import RelativePermeability
+    from srm_tpu.physics.wells import WellDataProcessor
+
+    res = reservoir_config
+    Nz, Ny, Nx = res["Nz"], res["Ny"], res["Nx"]
+    dx = res["length"] / Nx
+    dy = res["width"] / Ny
+    dz = res["thickness"] / Nz
+    units = get_conversion_constants(general_config["srm_units"])
+    C, D = units["C"], units["D"]
+
+    pairs, geom, kscale = _build_faces(Nz, Ny, Nx, dx, dy, dz, C,
+                                       res.get("vertical_anisotropy", 1.0))
+
+    relperm = relperm or RelativePermeability.from_config(
+        scal_config["end_points"], scal_config["corey_exponents"])
+    Swmin = scal_config["end_points"]["Swmin"]
+    Sgi = 1.0 - Swmin
+    krgo = float(relperm(jnp.asarray(Sgi))[1])
+
+    wdp = WellDataProcessor(wells_config["connections"])
+    wd = wdp.get_well_data()
+    conn = np.asarray(wd["connection_index"], np.int64)       # (W, 3) (k, j, i)
+    well_cells = conn[:, 0] * Ny * Nx + conn[:, 1] * Nx + conn[:, 2]
+
+    # Peaceman geometric part of the well index (kx multiplies in later):
+    # Ck = 2π·cr·kx·dz·C / ln(ro/rw), isotropic ro = 0.28·sqrt(dx²+dy²)/2
+    kx_ky = res.get("horizontal_anisotropy", 1.0)
+    ro = 0.28 * np.sqrt(np.sqrt(kx_ky) * dx**2 + np.sqrt(1.0 / kx_ky) * dy**2) / (
+        kx_ky**0.25 + (1.0 / kx_ky) ** 0.25)
+    rw = np.asarray(wd["wellbore_radius"], np.float64)
+    cr = np.asarray(wd["completion_ratio"], np.float64)
+    ck_geom = 2.0 * np.pi * cr * dz * C / np.log(ro / np.where(rw > 0, rw, 1.0))
+
+    windows = np.asarray(wd["shutin_days"], np.float32)
+    if windows.ndim == 2:
+        windows = windows[:, None, :]
+
+    prob = FVProblem(
+        shape=(Nz, Ny, Nx), face_pairs=pairs, face_geom=geom,
+        dv=dx * dy * dz, phi=res["porosity"], Pi=res["initialization"]["Pi"],
+        Sgi=Sgi, krgo=krgo, D=D,
+        well_cells=well_cells,
+        q_target=np.asarray(wd["control_mode_value"], np.float32),
+        pwf_min=np.asarray(wd["minimum_bhp"], np.float32),
+        well_ck_geom=ck_geom.astype(np.float32),
+        shutin_windows=windows,
+    )
+    return prob, kscale
+
+
+def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Array,
+                     pvt_fn: Callable[[Array], Array], n_picard: int = 6) -> Array:
+    """Pressure snapshots (T, N) for one realization.
+
+    ``kx`` — (N,) unnormalized permeability (flattened feature order z,y,x);
+    ``times`` — (T,) days, strictly increasing, ``times[0]`` is the initial
+    condition time (p = Pi); ``pvt_fn(p) → [2, P, ...]`` as the PVT layer.
+    """
+    N = kx.shape[0]
+    i1 = jnp.asarray(prob.face_pairs[:, 0])
+    i2 = jnp.asarray(prob.face_pairs[:, 1])
+    # harmonic-mean face permeability × geometric factor (static per realization)
+    kf = jnp.asarray(kscale) * 2.0 * kx[i1] * kx[i2] / (kx[i1] + kx[i2] + 1e-30)
+    G = jnp.asarray(prob.face_geom) * kf                       # (F,)
+
+    wc = jnp.asarray(prob.well_cells)
+    q_t = jnp.asarray(prob.q_target)
+    pwf_min = jnp.asarray(prob.pwf_min)
+    ck = jnp.asarray(prob.well_ck_geom) * kx[wc]               # full Peaceman WI
+    windows = jnp.asarray(prob.shutin_windows)                 # (W, S, 2)
+    cf_const = 97.32e-6 / (1.0 + 55.8721 * prob.phi**1.428586)
+
+    def pvt_props(p):
+        out = pvt_fn(p)
+        invBg, invug = out[0, 0], out[0, 1]
+        dinvBg = out[1, 0]
+        return invBg, invug, dinvBg
+
+    eye = jnp.eye(N, dtype=jnp.float32)
+
+    def step(p_n, t_pair):
+        t0, t1 = t_pair
+        dt = jnp.maximum(t1 - t0, 1e-6)
+        open_mask = jnp.logical_not(
+            jnp.any((t1 >= windows[:, :, 0]) & (t1 <= windows[:, :, 1]), axis=-1)
+        ).astype(p_n.dtype)
+
+        invBg_n, _, dinvBg_n = pvt_props(p_n)
+
+        def picard(_, p):
+            invBg, invug, _ = pvt_props(p)
+            # face mobility: arithmetic average of invBg·invug (as the loss)
+            lam = prob.krgo * 0.5 * ((invBg * invug)[i1] + (invBg * invug)[i2])
+            Tf = G * lam                                        # (F,)
+            A = (jnp.zeros((N, N), jnp.float32)
+                 .at[i1, i1].add(Tf).at[i2, i2].add(Tf)
+                 .at[i1, i2].add(-Tf).at[i2, i1].add(-Tf))
+            # accumulation: chord-slope ΔinvBg/Δp + rock compressibility
+            dp = p - p_n
+            chord = jnp.where(jnp.abs(dp) > 1e-3, (invBg - invBg_n) / dp, dinvBg_n)
+            acc = (prob.dv / prob.D) * prob.Sgi * prob.phi * (
+                chord + cf_const * invBg_n) / dt                # (N,)
+            # wells: rate target clipped by the min-BHP drawdown bound
+            mg_w = prob.krgo * (invBg * invug)[wc]
+            q_max = ck * mg_w * jnp.maximum(p[wc] - pwf_min, 0.0)
+            q_w = open_mask * jnp.where(q_t >= 0.0, jnp.minimum(q_t, q_max), q_t)
+            b = acc * p_n - jnp.zeros((N,), jnp.float32).at[wc].add(q_w)
+            A = A + acc[:, None] * eye
+            return jnp.linalg.solve(A, b)
+
+        p1 = jax.lax.fori_loop(0, n_picard, picard, p_n)
+        return p1, p1
+
+    p0 = jnp.full((N,), prob.Pi, jnp.float32)
+    t_pairs = jnp.stack([times[:-1], times[1:]], axis=1)
+    _, ps = jax.lax.scan(step, p0, t_pairs)
+    return jnp.concatenate([p0[None], ps], axis=0)             # (T, N)
+
+
+def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
+                          times: Array, pvt_fn, n_picard: int = 6) -> Array:
+    """vmap over realizations: (K, Nz, Ny, Nx) × (T,) → (K, T, Nz, Ny, Nx)."""
+    K = kx_fields.shape[0]
+    flat = kx_fields.reshape(K, -1)
+    sim = jax.jit(jax.vmap(
+        lambda k: simulate_dry_gas(prob, kscale, k, times, pvt_fn, n_picard)))
+    ps = sim(jnp.asarray(flat))                                 # (K, T, N)
+    return ps.reshape((K, ps.shape[1]) + prob.shape)

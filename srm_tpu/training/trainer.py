@@ -350,7 +350,7 @@ def train_combined_models_unified(
                 for key in loss_keys[ph]:
                     history["val"][ph][key].append(avg_val[ph][key])
             history["total_val_loss"].append(
-                0.0 if physics else sum(sum(avg_val[ph].values()) for ph in avg_val))
+                sum(sum(avg_val[ph].values()) for ph in avg_val))
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
             ckpt.save(epoch, trainer.params, trainer.opt_state, history=history)
 

@@ -4,7 +4,10 @@ JAX stand-in; see SURVEY §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): an inherited JAX_PLATFORMS=<tpu-ish> would silently
+# move the whole suite onto one real chip, where the 8-device mesh tests and
+# debug-callback paths cannot run
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,6 +19,9 @@ import pytest  # noqa: E402
 # CPU compiles are slow; cache across test sessions.
 import jax  # noqa: E402
 
+# a sitecustomize may force-register an accelerator platform over the env
+# var; the in-process config update takes final precedence
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

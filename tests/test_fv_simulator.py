@@ -1,0 +1,132 @@
+"""The on-device FV reference simulator and the simulator-label training loop.
+
+Covers VERDICT r1 item 3: non-zero labels generated in-repo, data-mode
+training on them, and a pressure RMSE — the full simulator-label loop with no
+external binary.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sim_proc(tmp_path_factory):
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.data.dataset import SRMDataProcessor
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["fluid_type"] = "DG"
+    g["label_source"] = "simulator"
+    g["unit_target_shape"] = (1, 1, 13, 13, 1)
+    proc = SRMDataProcessor(base_dir=str(tmp_path_factory.mktemp("fvsim")),
+                            general_config=g)
+    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
+    proc.reservoir_config["realizations"]["permx"]["number"] = 6
+    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
+    for conn in proc.wells_config["connections"]:
+        conn["i"] = min(conn["i"] // 3, 12)
+        conn["j"] = min(conn["j"] // 3, 12)
+    return proc
+
+
+def test_fv_simulator_depletes(sim_proc):
+    from srm_tpu.sim import simulate_labels
+    kle = sim_proc.generate_kle_splits()
+    times = np.array([0.0, 15.0, 30.0, 60.0, 90.0], np.float32)
+    lab = simulate_labels(sim_proc, "test", permx=kle["test"], times=times)
+    p = lab["PRESSURE"]                       # (K, T, Nz, Ny, Nx)
+    assert p.shape[1:] == (5, 1, 13, 13)
+    assert np.isfinite(p).all()
+    np.testing.assert_allclose(p[:, 0], sim_proc.reservoir_config["initialization"]["Pi"])
+    # net production (4 producers vs 1 injector) → field pressure declines
+    means = p.mean(axis=(0, 2, 3, 4))
+    assert means[-1] < means[0] - 50.0
+    assert (np.diff(means) < 0).all()
+    # pressure stays within physical bounds
+    assert p.min() > 1000.0 and p.max() <= 5000.0 + 1e-3
+
+
+def test_fv_simulator_mass_balance(sim_proc):
+    """Σ_cells Δmass ≈ −Σ_wells q·Δt per step (the loss's tank MBC, ref
+    physics_loss.py:193) — the implicit scheme must conserve surface mass."""
+    from srm_tpu.config import DEFAULT_SCAL_CONFIG, get_configuration
+    from srm_tpu.physics.pvt import make_pvt_layer
+    from srm_tpu.sim import build_problem, simulate_dry_gas
+
+    pvt_cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    pvt_cfg["spline_order"] = 1
+    layer = make_pvt_layer(pvt_cfg)
+    params = layer.init(jax.random.PRNGKey(0), np.zeros((4,), np.float32))
+    pvt_fn = lambda p: layer.apply(params, p)  # noqa: E731
+
+    prob, kscale = build_problem(sim_proc.reservoir_config, sim_proc.wells_config,
+                                 DEFAULT_SCAL_CONFIG, sim_proc.general_config)
+    kx = np.asarray(sim_proc.generate_kle_splits()["train"][0], np.float32).reshape(-1)
+    times = jnp.asarray([0.0, 10.0, 20.0], jnp.float32)
+    ps = np.asarray(simulate_dry_gas(prob, kscale, jnp.asarray(kx), times, pvt_fn,
+                                     n_picard=12))
+
+    cf = 97.32e-6 / (1.0 + 55.8721 * prob.phi**1.428586)
+    for n in range(len(times) - 1):
+        p0, p1 = jnp.asarray(ps[n]), jnp.asarray(ps[n + 1])
+        dt = float(times[n + 1] - times[n])
+        invBg0 = np.asarray(pvt_fn(p0)[0, 0])
+        invBg1 = np.asarray(pvt_fn(p1)[0, 0])
+        dmass = (prob.dv / prob.D) * prob.Sgi * prob.phi * (
+            (invBg1 - invBg0) + cf * invBg0 * (np.asarray(p1) - np.asarray(p0)))
+        # reconstruct the applied well rates at the converged state
+        invug1 = np.asarray(pvt_fn(p1)[0, 1])
+        wc = prob.well_cells
+        mg = prob.krgo * (invBg1 * invug1)[wc]
+        ck = prob.well_ck_geom * kx[wc]
+        qmax = ck * mg * np.maximum(np.asarray(p1)[wc] - prob.pwf_min, 0.0)
+        q = np.where(prob.q_target >= 0, np.minimum(prob.q_target, qmax), prob.q_target)
+        total_dm = float(dmass.sum())
+        total_q = float(q.sum()) * dt
+        assert total_q > 0
+        # Picard convergence: within 2% (the lagged-q linearization residual)
+        assert abs(total_dm + total_q) < 0.02 * abs(total_q), (total_dm, total_q)
+
+
+def test_simulator_label_training_and_rmse(sim_proc, tmp_path):
+    """Data-mode training on FV-simulator labels: loss decreases on REAL
+    (non-zero) labels and a pressure RMSE is computable — the accuracy metric
+    from BASELINE.md's measurement plan."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    from srm_tpu.nn.modules import build_model_map
+    from srm_tpu.training.trainer import Trainer
+    from srm_tpu.utils.stats import DataSummary
+    from srm_tpu.eval.plotting import pressure_rmse
+
+    proc = sim_proc
+    g = copy.deepcopy(proc.general_config)
+    g["physics_mode_fraction"] = 0.0          # supervised on simulator labels
+    proc.general_config = g
+    _, tr, va, te, pr = proc.get_or_generate_training_data()
+
+    x, y = tr[0]
+    assert abs(np.asarray(y["PRESSURE"])).max() > 0, "labels must be non-zero"
+    assert x.shape[:2] == np.asarray(y["PRESSURE"]).shape[:2]
+
+    ds = DataSummary([proc.load_training_statistics()])
+    models, params = build_model_map(x.shape, fluid_type="DG", general_config=g,
+                                     reservoir_config=proc.reservoir_config,
+                                     wells_config=proc.wells_config, data_summary=ds)
+    loss_fn = PhysicsLoss(models, ds, general_config=g,
+                          reservoir_config=proc.reservoir_config,
+                          wells_config=proc.wells_config, fluid_type="DG")
+    tr_obj = Trainer(loss_fn, params, donate_params=False)
+    xb = np.reshape(x, (-1,) + x.shape[2:])[:16]
+    yb = {k: np.reshape(v, (-1,) + v.shape[2:])[:16] for k, v in y.items()}
+    losses = [float(tr_obj.train_step(xb, yb)["total"]) for _ in range(15)]
+    assert losses[-1] < losses[0]
+
+    rmse = pressure_rmse(models, tr_obj.params, te)
+    assert np.isfinite(rmse) and rmse > 0
+    # sanity bound: a barely-trained model sits within ~psia scale of the
+    # labels; a units/alignment/transpose bug would put this at 1e4-1e5
+    assert rmse < 3500.0

@@ -202,5 +202,9 @@ def test_gc_loss_builds_and_runs(tmp_path):
     assert np.isfinite(float(total))
     assert set(aux) >= {"gas", "oil"}
     assert set(grads) == {"pressure", "time_step", "saturation"}
-    for g_ in grads.values():
-        assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g_))
+    for key, g_ in grads.items():
+        leaves = jax.tree_util.tree_leaves(g_)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), key
+        # every trainable model must receive a LIVE gradient (round-1's
+        # saturation model was silently dead: hard-pinned at Pi then clamped)
+        assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0, key

@@ -209,3 +209,59 @@ def test_solver_jit_compatible():
     q, pwf = f(x, p)
     assert np.isfinite(np.asarray(q)).all()
     assert np.isfinite(np.asarray(pwf)).all()
+
+
+# --------------------------------------------------------------------------
+# Root solvers: Chandrupatla vs bisection convergence, Newton
+# --------------------------------------------------------------------------
+def test_chandrupatla_converges_faster_than_bisection():
+    """Inverse-quadratic Chandrupatla reaches ~machine precision in the
+    iterations where bisection still carries O(2^-k) bracket error
+    (VERDICT r1 item 9; ref well_rate_bhp_Subclassed.py:281-324)."""
+    from srm_tpu.physics.well_solver import solve_bisection, solve_chandrupatla
+
+    roots = jnp.asarray([0.2, 0.41, 0.6234, 0.777])
+    cost = lambda x: (x - roots) * (1.0 + 0.5 * jnp.sin(3.0 * x))  # noqa: E731
+    ref = jnp.zeros_like(roots)
+
+    x_ch = solve_chandrupatla(cost, ref, max_iters=10, tol=1e-12, max_value=1.0)
+    x_bi = solve_bisection(cost, ref, max_iters=10, max_value=1.0)
+    err_ch = np.abs(np.asarray(x_ch) - np.asarray(roots))
+    err_bi = np.abs(np.asarray(x_bi) - np.asarray(roots))
+    assert err_ch.max() < 1e-8                 # superlinear
+    assert err_bi.max() > 1e-5                 # bisection: ~2^-11
+    assert err_ch.max() < err_bi.max() * 1e-2
+
+
+def test_chandrupatla_no_bracket_returns_best_end():
+    from srm_tpu.physics.well_solver import solve_chandrupatla
+    # strictly positive cost: no root in [0, 1]; smaller |cost| is at x=1
+    cost = lambda x: 2.0 - x  # noqa: E731
+    x = solve_chandrupatla(cost, jnp.zeros((3,)), max_iters=8, max_value=1.0)
+    np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-6)
+
+
+def test_chandrupatla_jit_grad_safe():
+    from srm_tpu.physics.well_solver import solve_chandrupatla
+
+    def root_of(a):
+        cost = lambda x: x**2 - a  # noqa: E731
+        return solve_chandrupatla(cost, jnp.zeros(()), max_iters=15, max_value=1.0)
+
+    r = jax.jit(root_of)(jnp.asarray(0.25))
+    assert float(r) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_iterative_bhp_logs_iteration_history(tmp_path):
+    """log_iterations=True dumps pwf histories from inside jit
+    (ref :600-603 via log_tensor_to_file)."""
+    import os
+    ws = _make_solver(use_non_iterative=False, max_iters=6, tol=1e-3,
+                      log_iterations=True, log_dir=str(tmp_path))
+    x, p = _inputs(B=1)
+    q, pwf = jax.jit(lambda x, p: ws.compute_rates_and_bhp(x, p, None))(x, p)
+    jax.block_until_ready(pwf)
+    logs = [f for f in os.listdir(tmp_path) if f.startswith("pwf_iterative")]
+    assert logs, "no iteration log written"
+    text = open(os.path.join(tmp_path, logs[0])).read()
+    assert "values:" in text
