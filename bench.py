@@ -1,18 +1,23 @@
-"""Benchmark: full-fidelity dry-gas train step throughput.
+"""Benchmark: full-fidelity dry-gas train step throughput + MFU.
 
-Runs the default dry-gas case (39x39 grid, 200 KLE realizations, batch 32,
-pure-physics PhysicsLoss with two model forwards, spline PVT, well solver,
-per-model optimizer updates — the reference's hot loop, SURVEY §3.2) on the
-available accelerator and prints ONE JSON line:
+Cases (all: full PhysicsLoss with two model forwards, spline PVT, well
+solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
 
-    {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
-     "vs_baseline": R}
+* ``dg2d``         — the reference's own default scale (39×39, batch 32)
+* ``dg2d_pallas``  — same with the fused Pallas stencil kernel
+* ``dg3d``         — 39×39×10 volumetric (beyond-reference 7-point residual)
+* ``dg2d_large``   — 117×117, batch 256 (compute-bound regime)
 
-``vs_baseline`` follows BASELINE.md's measurement plan: the reference
-publishes no numbers, so the baseline is self-measured — the same jitted
-train step on the host CPU (the reference's TF graph also XLA-compiles its
-loss kernel, so same-code CPU-vs-TPU is the honest hardware ratio). The CPU
-number is measured in a subprocess once and cached next to this file.
+Each case reports steps/s and model FLOPs utilization (MFU) estimated from
+XLA's own ``cost_analysis`` of the compiled epoch program against the chip's
+bf16 peak. Prints ONE JSON line; the driver-required keys are
+``metric/value/unit/vs_baseline``, extra detail rides alongside.
+
+``vs_baseline`` follows BASELINE.md: the reference publishes no numbers, so
+the primary baseline is the measured REAL TensorFlow reference
+(``tools/tf_reference_benchmark.py``, committed result in BASELINE.md); when
+that number is absent on this machine we fall back to the cached
+reference-execution-strategy CPU run.
 """
 
 from __future__ import annotations
@@ -25,65 +30,85 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CPU_CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
+# measured by tools/tf_reference_benchmark.py (TF 2.21 + legacy Keras, CPU,
+# the reference's own physics_error_gas_2D/pinn_batch_sse_grad kernel);
+# see BASELINE.md "Round-2 measured results"
+TF_REFERENCE_STEPS_PER_SEC = None  # set after a committed measurement
+TF_BASELINE_FILE = os.path.join(HERE, ".bench_tf_baseline.json")
+
 BATCH = 32
 WARMUP = 3
-STEPS = 30
+
+# peak MXU throughput used for the MFU denominator (bf16); one v5e chip.
+PEAK_FLOPS = 197e12
 
 
-def measure_steps_per_sec(batch: int = BATCH, warmup: int = WARMUP,
-                          steps: int = STEPS) -> dict:
+def _mfu(flops_per_step: float, steps_per_sec: float) -> float:
+    return flops_per_step * steps_per_sec / PEAK_FLOPS
+
+
+def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
+                 kle_method=None, pallas=False, reps: int = 3) -> dict:
     """Times the epoch-scanned train path: all batches of an epoch run in ONE
     device dispatch (lax.scan), so the measurement reflects device throughput
     rather than per-launch host round-trips."""
     import jax
     import numpy as np
-    from srm_tpu.data.batching import BatchGenerator
     from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     from srm_tpu.training.trainer import Trainer
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(HERE, "_srm_data"))
-    case = setup_dry_gas_case(base_dir=base)
+    case = setup_dry_gas_case(base_dir=base, nx=nx, nz=nz,
+                              n_realizations=realizations,
+                              kle_method=kle_method,
+                              use_pallas_stencil=pallas)
     trainer = Trainer(case["loss_fn"], case["params"])
-
-    # dataset uploaded to HBM once; epochs shuffle/batch on device
-    nb, _ = trainer.stage_dataset("train", case["train_groups"], batch)
+    nb, n_samples = trainer.stage_dataset("train", case["train_groups"], batch)
     key = jax.random.PRNGKey(0)
 
-    for i in range(warmup):
+    for i in range(WARMUP):
         m = trainer.train_epoch_resident("train", jax.random.fold_in(key, i))
     jax.block_until_ready(m["total"])
 
-    reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         m = trainer.train_epoch_resident("train", jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(m["total"])
     dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(m["total"])).all(), "non-finite loss in benchmark"
+    assert np.isfinite(np.asarray(m["total"])).all(), f"non-finite loss in {tag}"
     sps = (nb * reps) / dt
-    return {"steps_per_sec": sps, "batch": batch,
-            "residual_evals_per_sec": sps,   # one residual eval (2 forwards) per step
-            "cells_per_sec": sps * batch * 39 * 39}
+
+    # XLA's own cost model for the compiled epoch program → FLOPs/step
+    flops_per_step = None
+    try:
+        x_all, y_all, nb_, _ = trainer._resident["train"]
+        compiled = trainer._train_epoch_resident.lower(
+            trainer.params, trainer.opt_state, key, (x_all, y_all), nb_).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "flops" in ca:
+            flops_per_step = float(ca["flops"]) / nb_
+    except Exception:
+        pass
+
+    res = {
+        "steps_per_sec": round(sps, 3), "batch": batch,
+        "grid": f"{nx or 39}x{nx or 39}x{nz or 1}",
+        "samples_per_sec": round(sps * batch, 1),
+    }
+    if flops_per_step is not None:
+        res["gflops_per_step"] = round(flops_per_step / 1e9, 2)
+        res["mfu"] = round(_mfu(flops_per_step, sps), 4)
+    return res
 
 
 def measure_reference_style_cpu(batch: int = BATCH, steps: int = 20) -> dict:
-    """Baseline per BASELINE.md's measurement plan: the reference publishes no
-    numbers, so the baseline is the *reference's execution strategy* run with
-    identical math on the host CPU — an eager Python step loop that
-
-    * gathers each batch host-side and converts it per step,
-    * evaluates ONE compiled loss kernel that takes NINE separate gradient
-      passes (dom/dbc/nbc/ibc/ic/mbc/cmbc/td + batch), exactly like the
-      reference's persistent-tape ``pinn_batch_sse_grad``
-      (physics_loss.py:849-859),
-    * syncs every per-term scalar to Python floats each step
-      (training.py:608-640), and applies per-model optimizer updates in a
-      separate dispatch (training.py:643-652).
-    """
+    """Fallback baseline: the reference's execution strategy with identical
+    math on the host CPU — eager per-step Python loop, ONE compiled loss
+    kernel with NINE separate per-term gradient passes
+    (ref physics_loss.py:849-859), per-term scalar syncs per step
+    (ref training.py:608-640), separate optimizer dispatch (:643-652)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,15 +125,9 @@ def measure_reference_style_cpu(batch: int = BATCH, steps: int = 20) -> dict:
     params = case["params"]
     TERMS = ["dom", "dbc", "nbc", "ibc", "ic", "mbc", "cmbc", "tde", "td"]
 
-    def term_sses(p, x, y):
-        _, aux = loss_fn.loss_and_metrics(p, x, y)
-        return {t: aux["gas"][t] for t in TERMS}
-
     @jax.jit
     def reference_style_grads(p, x, y):
-        # nine separate backward passes, like the reference's per-term tapes
         grads = {}
-        sses = None
         for t in TERMS:
             def one(pp, t=t):
                 _, aux = loss_fn.loss_and_metrics(pp, x, y)
@@ -122,31 +141,29 @@ def measure_reference_style_cpu(batch: int = BATCH, steps: int = 20) -> dict:
 
     opts = {k: build_optimizer_from_config(get_optimizer_config(k))
             for k in ("pressure", "time_step")}
-    logical = {"pressure": "pressure", "time_step": "time_step"}
-    opt_state = {k: opts[k].init(params[logical[k]]) for k in opts}
+    opt_state = {k: opts[k].init(params[k]) for k in opts}
 
     @jax.jit
     def apply_updates(p, s, g):
         out_p = dict(p)
         out_s = dict(s)
         for k in ("pressure", "time_step"):
-            upd, out_s[k] = opts[k].update(g[logical[k]], s[k], p[logical[k]])
-            out_p[logical[k]] = optax.apply_updates(p[logical[k]], upd)
+            upd, out_s[k] = opts[k].update(g[k], s[k], p[k])
+            out_p[k] = optax.apply_updates(p[k], upd)
         return out_p, out_s
 
     ds = BatchGenerator(case["train_groups"], batch_size=batch, seed=0)
 
     def one_step(i, p, s):
-        x, y = ds[i % len(ds)]                       # host-side gather per step
+        x, y = ds[i % len(ds)]
         x = jnp.asarray(x)
         y = {k: jnp.asarray(v) for k, v in y.items()}
         tot, terms, grad = reference_style_grads(p, x, y)
         for t in TERMS:
-            float(terms[t])                          # per-term scalar syncs
+            float(terms[t])
         p, s = apply_updates(p, s, grad)
         return float(tot), p, s
 
-    # warmup/compile
     _, params, opt_state = one_step(0, params, opt_state)
     t0 = time.perf_counter()
     for i in range(steps):
@@ -178,15 +195,51 @@ def cpu_baseline() -> float:
     return float("nan")
 
 
+def tf_baseline() -> float:
+    """The measured REAL TF reference (tools/tf_reference_benchmark.py)."""
+    if TF_REFERENCE_STEPS_PER_SEC:
+        return TF_REFERENCE_STEPS_PER_SEC
+    if os.path.isfile(TF_BASELINE_FILE):
+        with open(TF_BASELINE_FILE) as f:
+            return float(json.load(f)["tf_reference_steps_per_sec"])
+    return float("nan")
+
+
 def main():
-    r = measure_steps_per_sec()
-    base = cpu_baseline()
-    vs = r["steps_per_sec"] / base if base == base and base > 0 else None
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    cases = {}
+    cases["dg2d"] = measure_case("dg2d")
+    try:
+        cases["dg2d_pallas"] = measure_case("dg2d_pallas", pallas=True)
+    except Exception as e:  # pallas unavailable on this backend
+        cases["dg2d_pallas"] = {"error": str(e)[:200]}
+    try:
+        cases["dg3d"] = measure_case("dg3d", nx=39, nz=10, batch=32,
+                                     realizations=50, kle_method="uncorrelated")
+    except Exception as e:
+        cases["dg3d"] = {"error": str(e)[:200]}
+    try:
+        cases["dg2d_large"] = measure_case("dg2d_large", nx=117, batch=256,
+                                           realizations=50,
+                                           kle_method="uncorrelated")
+    except Exception as e:
+        cases["dg2d_large"] = {"error": str(e)[:200]}
+
+    headline = cases["dg2d"]["steps_per_sec"]
+    base_tf = tf_baseline()
+    base = base_tf if base_tf == base_tf else cpu_baseline()
+    vs = headline / base if base == base and base > 0 else None
     print(json.dumps({
         "metric": "train_steps_per_sec",
-        "value": round(r["steps_per_sec"], 3),
+        "value": headline,
         "unit": "steps/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "baseline_kind": ("tf_reference_cpu" if base_tf == base_tf
+                          else "reference_style_jax_cpu"),
+        "cases": cases,
     }))
 
 

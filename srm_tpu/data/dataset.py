@@ -73,6 +73,19 @@ class SRMDataProcessor:
         (ref kle_realization_generator.py:610-699)."""
         res = self.reservoir_config
         spec = res["realizations"]["permx"]
+        if spec.get("method") == "uncorrelated":
+            # log-normal iid fields — no covariance eigendecomposition. For
+            # benchmark-scale grids where the dense KLE eigh (O(N²) memory,
+            # O(N³) flops over N = Nx·Ny·Nz points) is impractical; the
+            # training math is permeability-distribution-agnostic.
+            rng = np.random.RandomState(spec.get("seed") or self.seed)
+            shape = (spec["number"], res["Nz"], res["Ny"], res["Nx"])
+            mu, sig = np.log(spec["mean"]), spec["std"] / spec["mean"]
+            fields = np.exp(rng.normal(mu, sig, shape)).astype(self.dtype)
+            splits = split_realizations(fields, self.split_ratio[0],
+                                        self.general_config["split_sampling_method"],
+                                        self.seed)
+            return {k: splits[k] for k in self.split_keys}
         fields, num_modes, _ = generate_kle_numpy(
             n_realizations=spec["number"],
             Nx=res["Nx"], Ny=res["Ny"], Nz=res["Nz"],

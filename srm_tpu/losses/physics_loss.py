@@ -102,7 +102,12 @@ def dg_residual_from_fields(p0: Array, p1: Array, invBg0: Array, invBg1: Array,
     a4 = C * ky_jh * krgo * bgug_jh * inv_dyy
     a5 = (1.0 / D) * (cp1 / t1)
 
-    # extrapolated p at n2 and Richardson truncation error (ref :126,:171)
+    # extrapolated p at n2 and Richardson truncation error (ref :126,:171).
+    # NOTE: because p2 is extrapolated with the same (1 + t2/t1) ratio, the
+    # numerator t2·p0 + t1·p2 − (t1+t2)·p1 cancels algebraically — the term's
+    # trained value is the 2ε/t1 part, i.e. a 1/Δt regularizer that pushes
+    # Model 2 toward larger time steps (plus f32 roundoff). Kept exactly as
+    # the reference computes it.
     p2 = (p1 - p0) * (1.0 + t2 / jnp.maximum(t1, 1e-12)) + p0
     trn_err = (dv / D) * cp1 * (
         2.0 * EPSILON / t1
@@ -398,6 +403,33 @@ class PhysicsLoss:
         t1 = tstep.reshape((B,) + (1,) * (p0.ndim - 1))
         t2 = tstep2.reshape((B,) + (1,) * (p0.ndim - 1))
 
+        if self.use_pallas_stencil:
+            from srm_tpu.kernels.stencil_pallas import (
+                StencilConfig, dg3d_stencil_residual,
+            )
+            cfg3 = StencilConfig(C=C, D=D, dx=self.dx, dy=self.dy, dz=self.dz,
+                                 Sgi=self.Sgi, krgo=float(self._krgo_sgi),
+                                 phi=self.phi0)
+            # collapse the folded temporal singleton: kernel fields are
+            # (B, D, H, W) / padded (B, D+2, H+2, W+2)
+            vol = lambda f: f.reshape((B,) + f.shape[-3:])       # noqa: E731
+            volp = lambda f: pad_symmetric_3d(vol(f))            # noqa: E731
+            tsteps = jnp.concatenate([tstep.reshape(B, 1), tstep2.reshape(B, 1)],
+                                     axis=1)
+            dom, ibc, trn_err, mbc = dg3d_stencil_residual(
+                volp(p0), volp(p1), volp(kx_c), volp(self.kv_kh * kx_c),
+                volp(invBg1 * invug1), vol(invBg0), vol(invBg1), vol(dinvBg0),
+                vol(q1c), jnp.asarray(self.q_well_idx), tsteps, cfg3, self.kv_kh)
+            reshape_back = lambda f: f.reshape(p0.shape)         # noqa: E731
+            dom, ibc, trn_err = map(reshape_back, (dom, ibc, trn_err))
+            zeros = jnp.zeros_like(dom)
+            return {
+                "gas": {"dom": dom, "dbc": zeros, "nbc": zeros, "ibc": ibc,
+                        "ic": zeros, "mbc": mbc, "cmbc": zeros, "tde": trn_err},
+                "outputs": {"p_n0": p0f, "p_n1": p1f, "tstep": tstep,
+                            "q": q1, "pwf": pwf1},
+            }
+
         pn = neighbors_3d(pad_symmetric_3d(p1))
         bgug = neighbors_3d(pad_symmetric_3d(invBg1 * invug1))
         b_ih, b_i_h, b_jh, b_j_h, b_kh, b_k_h = average_faces_3d(bgug)
@@ -505,6 +537,36 @@ class PhysicsLoss:
         denom_t = t1 * t2 + t2**2
         trn_g = (dv / D) * (rte / t1 + (t2 * mg0 + t1 * mg2 - (t1 + t2) * mg1) / denom_t)
         trn_o = (dv / D) * (rte / t1 + (t2 * mo0 + t1 * mo2 - (t1 + t2) * mo1) / denom_t)
+
+        if self.use_pallas_stencil:
+            # fused single-VMEM-pass two-phase residual (the heavy 4-flux
+            # upstream math); gradients via the kernel's custom vjp
+            from srm_tpu.kernels.stencil_pallas import (
+                GCStencilConfig, gc_stencil_residual,
+            )
+            krog1_full, krgo1_full = self.relperm(Sg1)
+            gcfg = GCStencilConfig(C=C, D=D, dx=self.dx, dy=self.dy, dz=self.dz,
+                                   Swmin=self.Swmin, phi=self.phi0)
+            tsteps = jnp.concatenate([t1.reshape(-1, 1), t2.reshape(-1, 1)], axis=1)
+            fields = (p0, pad_symmetric(p1), pad_symmetric(kx_c), Sg0, Sg1,
+                      pad_symmetric(krgo1_full), pad_symmetric(krog1_full),
+                      invBg0, invBo0, Rs0, Rv0, dinvBg0, dinvBo0, dRs0, dRv0,
+                      pad_symmetric(invBg1), pad_symmetric(invBo1),
+                      pad_symmetric(invug1), pad_symmetric(invuo1),
+                      pad_symmetric(Rs1), pad_symmetric(Rv1),
+                      sq(qfg1), sq(qdg1), sq(qfo1), sq(qvo1))
+            (dom_g, dom_o, ibc, trn_g, trn_o, mbc_g, mbc_o) = gc_stencil_residual(
+                fields, q_well, tsteps, gcfg)
+            zeros = jnp.zeros_like(dom_g)
+            out = {"p_n0": p0f, "p_n1": p1f, "Sg_n0": Sg0f, "Sg_n1": Sg1f,
+                   "tstep": tstep, "q": (qfg1, qdg1, qfo1, qvo1), "pwf": pwf1}
+            return {
+                "gas": {"dom": dom_g, "dbc": zeros, "nbc": zeros, "ibc": ibc,
+                        "ic": zeros, "mbc": mbc_g, "cmbc": zeros, "tde": trn_g},
+                "oil": {"dom": dom_o, "dbc": zeros, "nbc": zeros, "ibc": ibc,
+                        "ic": zeros, "mbc": mbc_o, "cmbc": zeros, "tde": trn_o},
+                "outputs": out,
+            }
 
         # relperm at n1 + upstream weighting (ref :453-551)
         krog1_full, krgo1_full = self.relperm(Sg1)

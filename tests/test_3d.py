@@ -77,6 +77,32 @@ def test_3d_dataset_and_models(case_3d):
     assert dt.shape == (2, 1, 3, 9, 9, 1)
 
 
+def test_3d_pallas_matches_jnp(case_3d):
+    """use_pallas_stencil reproduces the 7-point jnp residual (interpret on
+    CPU; Mosaic on TPU)."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    base = case_3d["loss_fn"]
+    pal = PhysicsLoss(base.models, base.data_summary,
+                      general_config=case_3d["g"],
+                      reservoir_config=case_3d["proc"].reservoir_config,
+                      wells_config=case_3d["proc"].wells_config, fluid_type="DG",
+                      use_pallas_stencil=True)
+    x, y = case_3d["tr"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    t_ref, aux_ref = base.loss_and_metrics(case_3d["params"], xb, yb)
+    t_pal, aux_pal = pal.loss_and_metrics(case_3d["params"], xb, yb)
+    # total carries the tde term, which is algebraically-cancelled f32 noise
+    # (see the note in _residuals_dg) — tolerance reflects that
+    assert float(t_pal) == pytest.approx(float(t_ref), rel=1e-3)
+    for term in ("dom", "ibc", "mbc"):
+        assert float(aux_pal["gas"][term]) == pytest.approx(
+            float(aux_ref["gas"][term]), rel=1e-3), term
+    _, grads, _ = pal.pinn_batch_sse_grad(case_3d["params"], xb, yb)
+    leaves = jax.tree_util.tree_leaves(grads["pressure"])
+    assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+
+
 def test_3d_gc_loss_and_grads(tmp_path_factory):
     """GC + Nz>1 routes to the 7-point two-phase residual (round-1 judged
     this silently-wrong; now a real _residuals_gc_3d)."""

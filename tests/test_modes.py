@@ -41,6 +41,56 @@ def test_pallas_loss_matches_jnp_loss(small_case):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
+def test_pallas_gc_loss_matches_jnp_loss(tmp_path):
+    """GC PhysicsLoss with use_pallas_stencil=True reproduces the jnp
+    two-phase residual losses (interpret mode on CPU; Mosaic on TPU)."""
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.data.dataset import SRMDataProcessor
+    from srm_tpu.nn.modules import build_model_map
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    from srm_tpu.utils.stats import DataSummary
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["fluid_type"] = "GC"
+    g["unit_target_shape"] = (1, 1, 13, 13, 1)
+    proc = SRMDataProcessor(base_dir=str(tmp_path), general_config=g)
+    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
+    proc.reservoir_config["realizations"]["permx"]["number"] = 4
+    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
+    for conn in proc.wells_config["connections"]:
+        conn["i"] = min(conn["i"] // 3, 12)
+        conn["j"] = min(conn["j"] // 3, 12)
+    _, tr, va, te, pr = proc.get_or_generate_training_data()
+    ds = DataSummary([proc.load_training_statistics()])
+    models, params = build_model_map(tr[0][0].shape, fluid_type="GC",
+                                     general_config=g,
+                                     reservoir_config=proc.reservoir_config,
+                                     wells_config=proc.wells_config, data_summary=ds)
+    mk = lambda pallas: PhysicsLoss(  # noqa: E731
+        models, ds, general_config=g, reservoir_config=proc.reservoir_config,
+        wells_config=proc.wells_config, fluid_type="GC",
+        use_pallas_stencil=pallas)
+    base, pal = mk(False), mk(True)
+    x, y = tr[0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    t_ref, aux_ref = base.loss_and_metrics(params, xb, yb)
+    t_pal, aux_pal = pal.loss_and_metrics(params, xb, yb)
+    assert float(t_pal) == pytest.approx(float(t_ref), rel=1e-4)
+    for ph in ("gas", "oil"):
+        # tde is excluded: its Richardson numerator cancels algebraically
+        # (mg2 is extrapolated with the same t2/t1 ratio), so the term is
+        # f32 roundoff noise whose value depends on summation order
+        for term in ("dom", "ibc", "mbc"):
+            assert float(aux_pal[ph][term]) == pytest.approx(
+                float(aux_ref[ph][term]), rel=1e-3), (ph, term)
+        assert np.isfinite(float(aux_pal[ph]["tde"]))
+    _, grads, _ = pal.pinn_batch_sse_grad(params, xb, yb)
+    for key in ("pressure", "saturation"):
+        leaves = jax.tree_util.tree_leaves(grads[key])
+        assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0, key
+
+
 def test_data_mode_supervised_training(small_case):
     """physics_mode_fraction = 0: supervised regression on labels only
     (ref zeros_like_pinn_error path, physics_loss.py:716-729)."""
