@@ -6,7 +6,9 @@ solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
 * ``dg2d``         — the reference's own default scale (39×39, batch 32)
 * ``dg2d_pallas``  — same with the fused Pallas stencil kernel
 * ``dg3d``         — 39×39×10 volumetric (beyond-reference 7-point residual)
-* ``dg2d_large``   — 117×117, batch 256 (compute-bound regime)
+* ``dg2d_large``   — 117×117, batch 128 (compute-bound regime; batch 256
+  exceeds one v5e chip's 16G HBM — the loss graph holds two time-level
+  forward activations for the backward pass)
 
 Each case reports steps/s and model FLOPs utilization (MFU) estimated from
 XLA's own ``cost_analysis`` of the compiled epoch program against the chip's
@@ -33,7 +35,11 @@ CPU_CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
 # measured by tools/tf_reference_benchmark.py (TF 2.21 + legacy Keras, CPU,
 # the reference's own physics_error_gas_2D/pinn_batch_sse_grad kernel);
 # see BASELINE.md "Round-2 measured results"
-TF_REFERENCE_STEPS_PER_SEC = None  # set after a committed measurement
+# 0.111 = plain graph mode (--no-xla), the reference's FASTER variant on this
+# host: its as-written @tf.function(jit_compile=True) kernel measured 0.004
+# steps/s (234 s/step, XLA-CPU single-core pathology). Using the faster
+# variant keeps the reported speedup a lower bound.
+TF_REFERENCE_STEPS_PER_SEC = 0.111
 TF_BASELINE_FILE = os.path.join(HERE, ".bench_tf_baseline.json")
 
 BATCH = 32
@@ -222,7 +228,7 @@ def main():
     except Exception as e:
         cases["dg3d"] = {"error": str(e)[:200]}
     try:
-        cases["dg2d_large"] = measure_case("dg2d_large", nx=117, batch=256,
+        cases["dg2d_large"] = measure_case("dg2d_large", nx=117, batch=128,
                                            realizations=50,
                                            kle_method="uncorrelated")
     except Exception as e:

@@ -33,9 +33,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Arrays whose leading dimension is not divisible by the mesh size are
+    replicated instead (correct but redundant compute) — sharding them would
+    be a hard error in ``device_put``. Keep batch sizes a multiple of the
+    device count for full data-parallel efficiency.
+    """
+    n = int(np.prod(mesh.devices.shape))
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), x)
+    rep = replicated(mesh)
+
+    def put(a):
+        divisible = getattr(a, "ndim", 0) > 0 and a.shape[0] % n == 0
+        return jax.device_put(a, sh if divisible else rep)
+
+    return jax.tree_util.tree_map(put, x)
 
 
 def replicate(tree, mesh: Mesh):

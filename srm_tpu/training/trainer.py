@@ -53,9 +53,16 @@ class Trainer:
 
     def __init__(self, loss_fn, params: Dict[str, Any],
                  optimizer_configs: Optional[Dict[str, Dict]] = None,
-                 mesh=None, donate_params: bool = True):
+                 mesh=None, donate_params: bool = True,
+                 scan_unroll: Optional[int] = None):
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else make_mesh()
+        # epoch-scan unroll factor: higher amortizes loop overhead on TPU but
+        # multiplies the compiled program size (XLA compile time). Tests set
+        # SRM_TPU_SCAN_UNROLL=1.
+        import os as _os
+        self.scan_unroll = int(scan_unroll if scan_unroll is not None
+                               else _os.environ.get("SRM_TPU_SCAN_UNROLL", 4))
         # private copy: the jitted step donates its param buffers, and
         # device_put may alias the caller's arrays when shardings match
         params = jax.tree_util.tree_map(jnp.array, params)
@@ -157,8 +164,8 @@ class Trainer:
             p, s, metrics = self._train_step_impl(p, s, x, y)
             return (p, s), metrics
 
-        (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), perm,
-                                                    unroll=4)
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), perm, unroll=min(self.scan_unroll, nb))
         return params, opt_state, metrics
 
     def _eval_epoch_resident_impl(self, params, key, data, nb):
@@ -172,7 +179,8 @@ class Trainer:
             y = self._gather_batch(y_all, idx)
             return None, self._eval_step_impl(params, x, y)
 
-        _, metrics = jax.lax.scan(body, None, perm, unroll=4)
+        _, metrics = jax.lax.scan(body, None, perm,
+                                  unroll=min(self.scan_unroll, nb))
         return metrics
 
     def stage_dataset(self, name: str, groups, batch_size: int):

@@ -12,6 +12,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# keep compiled epoch programs small: the 4x scan unroll only pays off on
+# real TPU throughput runs, while it quadruples XLA CPU compile time here
+os.environ.setdefault("SRM_TPU_SCAN_UNROLL", "1")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -19,21 +19,21 @@ def test_trainer_checkpoint_and_resume(tmp_path):
     from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     from srm_tpu.training.trainer import train_combined_models_unified
 
-    case = setup_dry_gas_case(base_dir=str(tmp_path / "data"), nx=13, n_realizations=8)
+    case = setup_dry_gas_case(base_dir=str(tmp_path / "data"), nx=9, n_realizations=6)
     ckpt_dir = str(tmp_path / "ckpt")
     params1, hist1, _ = train_combined_models_unified(
         case["train_groups"], case["val_groups"], models=case["models"],
         params=case["params"], loss_fn=case["loss_fn"],
-        training_batch_size=16, epochs=2, verbose=0,
+        training_batch_size=25, epochs=1, verbose=0,
         general_config=case["general_config"],
         checkpoint_dir=ckpt_dir, log_epoch_percentage=0.0)
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir)
 
-    # resume continues from epoch 2 and only runs the remaining epoch
+    # resume continues from epoch 1 and only runs the remaining epoch
     params2, hist2, _ = train_combined_models_unified(
         case["train_groups"], case["val_groups"], models=case["models"],
         params=case["params"], loss_fn=case["loss_fn"],
-        training_batch_size=16, epochs=3, verbose=0,
+        training_batch_size=25, epochs=2, verbose=0,
         general_config=case["general_config"],
         checkpoint_dir=ckpt_dir, resume=True, log_epoch_percentage=0.0)
     assert len(hist2["total_train_loss"]) == 1

@@ -13,7 +13,7 @@ def test_training_is_deterministic(tmp_path):
     from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     from srm_tpu.training.trainer import Trainer
 
-    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=13, n_realizations=8)
+    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=9, n_realizations=6)
 
     def run():
         tr = Trainer(case["loss_fn"],

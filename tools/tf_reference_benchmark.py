@@ -155,6 +155,10 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--json-out", type=str, default=None)
+    ap.add_argument("--no-xla", action="store_true",
+                    help="run the loss kernel as plain tf.function graph mode "
+                         "(the reference's jit_compile=True kernel can take "
+                         ">40 min to XLA-compile on CPU)")
     args = ap.parse_args(argv)
 
     import tensorflow as tf
@@ -196,6 +200,8 @@ def main(argv=None):
     # jit_compile in this version
     src = src.replace("unconnected_gradients='zero'",
                       "unconnected_gradients=tf.UnconnectedGradients.ZERO")
+    if args.no_xla:
+        src = src.replace("@tf.function(jit_compile=True)", "@tf.function")
     # AutoGraph re-reads source from the compile() filename, so the patched
     # text must exist on disk
     import tempfile
@@ -295,6 +301,7 @@ def main(argv=None):
     result = {"tf_reference_steps_per_sec": round(sps, 3),
               "batch": args.batch, "grid": f"{H}x{W}",
               "steps": args.steps, "wall_s": round(dt, 2),
+              "xla": not args.no_xla,
               "tf_version": tf.__version__, "device": "cpu"}
     print(json.dumps(result))
     if args.json_out:
