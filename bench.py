@@ -3,9 +3,11 @@
 Cases (all: full PhysicsLoss with two model forwards, spline PVT, well
 solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
 
-* ``dg2d``         — the reference's own default scale (39×39, batch 32)
-* ``dg2d_pallas``  — same with the fused Pallas stencil kernel
+* ``dg2d``         — the reference's own default scale (39×39, batch 32);
+  the fused Pallas stencil kernel is the default on TPU
+* ``dg2d_jnp``     — same with the Pallas kernel disabled (XLA-fused jnp path)
 * ``dg3d``         — 39×39×10 volumetric (beyond-reference 7-point residual)
+* ``dg3d_bf16``    — dg3d with bfloat16 network compute (+61% measured)
 * ``dg2d_large``   — 117×117, batch 128 (compute-bound regime; batch 256
   exceeds one v5e chip's 16G HBM — the loss graph holds two time-level
   forward activations for the backward pass)
@@ -54,7 +56,8 @@ def _mfu(flops_per_step: float, steps_per_sec: float) -> float:
 
 
 def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
-                 kle_method=None, pallas=False, reps: int = 3) -> dict:
+                 kle_method=None, pallas=None, general_config=None,
+                 reps: int = 3) -> dict:
     """Times the epoch-scanned train path: all batches of an epoch run in ONE
     device dispatch (lax.scan), so the measurement reflects device throughput
     rather than per-launch host round-trips."""
@@ -68,6 +71,7 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     case = setup_dry_gas_case(base_dir=base, nx=nx, nz=nz,
                               n_realizations=realizations,
                               kle_method=kle_method,
+                              general_config=general_config,
                               use_pallas_stencil=pallas)
     trainer = Trainer(case["loss_fn"], case["params"])
     nb, n_samples = trainer.stage_dataset("train", case["train_groups"], batch)
@@ -219,14 +223,25 @@ def main():
     cases = {}
     cases["dg2d"] = measure_case("dg2d")
     try:
-        cases["dg2d_pallas"] = measure_case("dg2d_pallas", pallas=True)
-    except Exception as e:  # pallas unavailable on this backend
-        cases["dg2d_pallas"] = {"error": str(e)[:200]}
+        cases["dg2d_jnp"] = measure_case("dg2d_jnp", pallas=False)
+    except Exception as e:
+        cases["dg2d_jnp"] = {"error": str(e)[:200]}
     try:
         cases["dg3d"] = measure_case("dg3d", nx=39, nz=10, batch=32,
                                      realizations=50, kle_method="uncorrelated")
     except Exception as e:
         cases["dg3d"] = {"error": str(e)[:200]}
+    try:
+        import copy as _copy
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+        gb["compute_dtype"] = "bfloat16"
+        cases["dg3d_bf16"] = measure_case("dg3d_bf16", nx=39, nz=10, batch=32,
+                                          realizations=50,
+                                          kle_method="uncorrelated",
+                                          general_config=gb)
+    except Exception as e:
+        cases["dg3d_bf16"] = {"error": str(e)[:200]}
     try:
         cases["dg2d_large"] = measure_case("dg2d_large", nx=117, batch=128,
                                            realizations=50,

@@ -35,7 +35,7 @@ def setup_dry_gas_case(base_dir: Optional[str] = None, nx: Optional[int] = None,
                        general_config: Optional[Dict] = None,
                        seed: Optional[int] = None, nz: Optional[int] = None,
                        kle_method: Optional[str] = None,
-                       use_pallas_stencil: bool = False):
+                       use_pallas_stencil: Optional[bool] = None):
     """Build everything for the dry-gas case; returns a dict bundle.
 
     ``nx``/``nz``/``n_realizations`` resize the problem for tests, smoke runs

@@ -140,7 +140,14 @@ class PhysicsLoss:
                  wells_config: Optional[Dict] = None,
                  scal_config: Optional[Dict] = None,
                  fluid_type: Optional[str] = None,
-                 use_pallas_stencil: bool = False):
+                 use_pallas_stencil: Optional[bool] = None):
+        if use_pallas_stencil is None:
+            # default ON where the fused kernel runs compiled (TPU): measured
+            # faster at every compute-bound scale (BASELINE.md round-2 table).
+            # On CPU backends pallas falls back to interpret mode, which is
+            # far slower than the jnp twin — keep it off there.
+            import jax
+            use_pallas_stencil = jax.default_backend() == "tpu"
         self.use_pallas_stencil = use_pallas_stencil
         self.models = models
         self.data_summary = data_summary

@@ -172,20 +172,38 @@ def main(argv=None):
     qgrid = np.zeros((H, W, 1), np.float32)
     qgrid[conn[:, 0], conn[:, 1], 0] = q_rates
 
-    # stats for the injected nonormalize wrappers (linear scaling, (-1,1))
+    model, pinn_batch_sse_grad = build_composite(
+        tf, model1, model2, pvt, qgrid, no_xla=args.no_xla)
+    main_step_loop(args, tf, model, pinn_batch_sse_grad)
+
+
+def build_composite(tf, model1, model2, pvt, qgrid,
+                    nonormalize=None, normalize_diff=None, no_xla=False):
+    """Build the composite SRM model + the reference's loss kernel.
+
+    ``nonormalize``/``normalize_diff`` are the denormalization wrappers the
+    legacy kernel expects as free symbols; by default linear (-1,1) scalings
+    over the module constants (TMAX, kmin/kmax) — pass stats-driven versions
+    (see tf_rmse_experiment.py) to match an exported dataset exactly.
+    """
     kmin, kmax = 0.3, 25.0
+    if nonormalize is None:
+        def nonormalize(model, v, stat_idx=None, compute=True):
+            if stat_idx == 3:
+                return (v + 1.0) * 0.5 * TMAX
+            if stat_idx == 4:
+                return tf.ones_like(v) * PHI
+            if stat_idx == 5:
+                return (v + 1.0) * 0.5 * (kmax - kmin) + kmin
+            raise ValueError(stat_idx)
+    if normalize_diff is None:
+        def normalize_diff(model, dv, stat_idx=None, compute=True):
+            return dv * 2.0 / TMAX
 
-    def nonormalize(model, v, stat_idx=None, compute=True):
-        if stat_idx == 3:
-            return (v + 1.0) * 0.5 * TMAX
-        if stat_idx == 4:
-            return tf.ones_like(v) * PHI
-        if stat_idx == 5:
-            return (v + 1.0) * 0.5 * (kmax - kmin) + kmin
-        raise ValueError(stat_idx)
-
-    def normalize_diff(model, dv, stat_idx=None, compute=True):
-        return dv * 2.0 / TMAX
+    # well connections: the cells the q scatter marks (row-major j,i order)
+    jj, ii = np.nonzero(qgrid[..., 0])
+    conn = np.stack([jj, ii, np.zeros_like(jj)], axis=1).astype(np.int64)
+    q_rates = qgrid[jj, ii, 0].astype(np.float32)
 
     def time_shifting(model, x, shift_frac_mean=0.05, pred_cycle_mean=0.0, random=False):
         return list(x), tf.constant(1.0, tf.float32), tf.constant(10.0, tf.float32)
@@ -200,7 +218,7 @@ def main(argv=None):
     # jit_compile in this version
     src = src.replace("unconnected_gradients='zero'",
                       "unconnected_gradients=tf.UnconnectedGradients.ZERO")
-    if args.no_xla:
+    if no_xla:
         src = src.replace("@tf.function(jit_compile=True)", "@tf.function")
     # AutoGraph re-reads source from the compile() filename, so the patched
     # text must exist on disk
@@ -259,9 +277,10 @@ def main(argv=None):
             return [p, tf.ones_like(p) * SGI, invBg, invug, dPVT,
                     dtf, tf.zeros_like(p), q, tf.zeros_like(p)]
 
-    model = CompositeSRM()
-    pinn_batch_sse_grad = ns["pinn_batch_sse_grad"]
+    return CompositeSRM(), ns["pinn_batch_sse_grad"]
 
+
+def main_step_loop(args, tf, model, pinn_batch_sse_grad):
     rng = np.random.RandomState(0)
     xs = [rng.uniform(-1, 1, (args.batch, H, W, 1)).astype(np.float32)
           for _ in range(6)]
