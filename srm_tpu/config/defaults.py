@@ -479,7 +479,11 @@ def generate_full_config_hash(general_config: Optional[Dict] = None,
     scal_config = scal_config or DEFAULT_SCAL_CONFIG
 
     time_keys = ["srm_start_time", "srm_end_time", "srm_timestep", "maximum_srm_timestep",
-                 "minimum_srm_timestep", "split_ratio", "split_keys", "seed"]
+                 "minimum_srm_timestep", "split_ratio", "split_keys", "seed",
+                 # label provenance changes the processed dataset contents
+                 # (zero labels vs FV-simulator labels), so it must invalidate
+                 # the cache like any other physics setting
+                 "label_source", "physics_mode_fraction"]
     payload = {
         "time": {k: general_config.get(k) for k in time_keys},
         "reservoir": reservoir_config,

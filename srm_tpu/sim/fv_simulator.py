@@ -210,11 +210,28 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
 
 
 def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
-                          times: Array, pvt_fn, n_picard: int = 6) -> Array:
-    """vmap over realizations: (K, Nz, Ny, Nx) × (T,) → (K, T, Nz, Ny, Nx)."""
+                          times: Array, pvt_fn, n_picard: int = 6,
+                          chunk: int = 16) -> Array:
+    """vmap over realizations: (K, Nz, Ny, Nx) × (T,) → (K, T, Nz, Ny, Nx).
+
+    Realizations run in chunks of ``chunk``: each Picard iteration holds a
+    dense (chunk, N, N) system plus its LU workspace, so vmapping the whole
+    batch at once scales HBM as K·N² and crashes one chip already at
+    K=140, N=1521.
+    """
     K = kx_fields.shape[0]
-    flat = kx_fields.reshape(K, -1)
+    flat = jnp.asarray(kx_fields.reshape(K, -1))
     sim = jax.jit(jax.vmap(
         lambda k: simulate_dry_gas(prob, kscale, k, times, pvt_fn, n_picard)))
-    ps = sim(jnp.asarray(flat))                                 # (K, T, N)
+    outs = []
+    for s in range(0, K, chunk):
+        block = flat[s:s + chunk]
+        pad = 0
+        if block.shape[0] < chunk and s > 0:
+            # keep one compiled shape: pad the tail chunk and drop the extras
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate([block, block[-1:].repeat(pad, axis=0)])
+        ps = sim(block)                                         # (c, T, N)
+        outs.append(np.asarray(ps[:ps.shape[0] - pad]))
+    ps = np.concatenate(outs, axis=0)
     return ps.reshape((K, ps.shape[1]) + prob.shape)

@@ -81,7 +81,15 @@ def main(argv=None):
         tf, model1, model2, pvt, qgrid, nonormalize, normalize_diff,
         no_xla=True)
 
-    opt1 = tf.keras.optimizers.Adam(1e-4)
+    # the reference's own optimizer defaults (default_configurations.py:
+    # 310-345): AdamW lr=0.005 wd=5e-5 with exp LR decay (25, 0.90) for the
+    # pressure model, Adam 1e-4 for the time-step model
+    lr1 = tf.keras.optimizers.schedules.ExponentialDecay(
+        0.005, decay_steps=25, decay_rate=0.90, staircase=False)
+    try:
+        opt1 = tf.keras.optimizers.AdamW(learning_rate=lr1, weight_decay=5e-5)
+    except AttributeError:
+        opt1 = tf.keras.optimizers.Adam(learning_rate=lr1)
     opt2 = tf.keras.optimizers.Adam(1e-4)
     n1 = None
 
@@ -144,6 +152,12 @@ def main(argv=None):
                          "rmse_psia": round(r, 3)})
             print(f"step {s}: wall {wall:.0f}s rmse {r:.2f}",
                   file=sys.stderr, flush=True)
+            if args.json_out:   # partial dump: long runs may be cut short
+                with open(args.json_out, "w") as f:
+                    json.dump({"framework": "tf_reference", "device": "cpu",
+                               "batch": args.batch, "partial": s < args.steps,
+                               "rmse_predict_pi": round(pi_rmse, 3),
+                               "trajectory": traj}, f)
 
     out = {"framework": "tf_reference", "device": "cpu",
            "batch": args.batch, "rmse_predict_pi": round(pi_rmse, 3),
