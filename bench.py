@@ -37,11 +37,13 @@ CPU_CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
 # measured by tools/tf_reference_benchmark.py (TF 2.21 + legacy Keras, CPU,
 # the reference's own physics_error_gas_2D/pinn_batch_sse_grad kernel);
 # see BASELINE.md "Round-2 measured results"
-# 0.111 = plain graph mode (--no-xla), the reference's FASTER variant on this
-# host: its as-written @tf.function(jit_compile=True) kernel measured 0.004
-# steps/s (234 s/step, XLA-CPU single-core pathology). Using the faster
-# variant keeps the reported speedup a lower bound.
-TF_REFERENCE_STEPS_PER_SEC = 0.111
+# 0.33 = plain graph mode, the reference's FASTER variant on this host,
+# measured UNCONTENDED during the rmse-experiment run (200 steps / 606 s with
+# the reference's own optimizers). Its as-written @tf.function(jit_compile=
+# True) kernel measured 0.004 steps/s (234 s/step, XLA-CPU single-core
+# pathology); an earlier 0.111 graph-mode reading shared the core with an
+# XLA compile. Using the fastest variant keeps the speedup a lower bound.
+TF_REFERENCE_STEPS_PER_SEC = 0.33
 TF_BASELINE_FILE = os.path.join(HERE, ".bench_tf_baseline.json")
 
 BATCH = 32
