@@ -157,6 +157,7 @@ class PhysicsLoss:
         self.scal_config = scal_config or DEFAULT_SCAL_CONFIG
         self.fluid_type = (fluid_type or self.general_config["fluid_type"]).upper()
         self.physics_mode_fraction = float(self.general_config["physics_mode_fraction"])
+        self.remat_forwards = bool(self.general_config.get("remat_forwards", False))
         self.optimizer_model_names_map = (optimizer_model_names_map
                                           or get_optimizer_model_mapping(self.fluid_type))
 
@@ -231,16 +232,31 @@ class PhysicsLoss:
         return normalize_diff(dt, jnp.asarray(self.t_row), method=self.norm_method,
                               limits=self.norm_limits, is_log=False)
 
+    def _net(self, name: str, params, x, training=True):
+        """Forward one conv network, optionally rematerialized.
+
+        ``general_config['remat_forwards'] = True`` wraps the network in
+        ``jax.checkpoint``: the backward pass recomputes activations instead
+        of storing them, trading ~1 extra forward of FLOPs for the activation
+        HBM — the standard TPU lever for batch sizes that otherwise OOM
+        (117×117 at batch 256 exceeds one v5e chip's 15.75 GiB without it).
+        """
+        mod = self.models[name]
+        f = lambda p, x_: mod.apply(p, x_, training=training)  # noqa: E731
+        if self.remat_forwards:
+            f = jax.checkpoint(f)
+        return f(params[name], x)
+
     def _forward(self, params, x, training=True):
         """One multi-model forward: (p, Δt-field, pvt, Sg)."""
         m = self.models
-        p = m["pressure"].apply(params["pressure"], x, training=training)
-        dt = m["time_step"].apply(params["time_step"], x, training=training)
+        p = self._net("pressure", params, x, training=training)
+        dt = self._net("time_step", params, x, training=training)
         pvt = m["pvt_model"].apply(params["pvt_model"], p)
         Sg = None
         if self.fluid_type == "GC":
-            Sg_raw = m["saturation_model"].apply(params["saturation_model"], x,
-                                                 training=training)
+            Sg_raw = self._net("saturation_model", params, x,
+                               training=training)
             # saturation hard-enforced to Sgi at t0 by its HardLayer; clamp to
             # the physical range for the relperm/PVT consumers
             Sg = jnp.clip(Sg_raw, 0.0, self.Sgi)
@@ -293,16 +309,16 @@ class PhysicsLoss:
         # doubled-batch forward (half the op dispatches, better MXU/VPU
         # utilization than the reference's two sequential passes).
         m = self.models
-        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        dt0f = self._net("time_step", params, x)
         tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
-        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        dt1f = self._net("time_step", params, x1)
         tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
-        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
+        p01 = self._net("pressure", params, x01)
         pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
         p0f, p1f = p01[:B], p01[B:]
         pvt0, pvt1 = pvt01[:, :, :B], pvt01[:, :, B:]
@@ -383,16 +399,16 @@ class PhysicsLoss:
         q_well = jnp.asarray(self.q_well_idx)
 
         m = self.models
-        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        dt0f = self._net("time_step", params, x)
         tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
-        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        dt1f = self._net("time_step", params, x1)
         tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
-        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
+        p01 = self._net("pressure", params, x01)
         pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
         p0f, p1f = p01[:B], p01[B:]
         pvt0, pvt1 = pvt01[:, :, :B], pvt01[:, :, B:]
@@ -490,18 +506,18 @@ class PhysicsLoss:
 
         # ---- forwards (doubled-batch over the two time levels) -------------
         m = self.models
-        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        dt0f = self._net("time_step", params, x)
         tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
-        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        dt1f = self._net("time_step", params, x1)
         tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
-        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
-        Sg01 = jnp.clip(m["saturation_model"].apply(params["saturation_model"], x01,
-                                                    training=True), 0.0, self.Sgi)
+        p01 = self._net("pressure", params, x01)
+        Sg01 = jnp.clip(self._net("saturation_model", params, x01),
+                        0.0, self.Sgi)
         pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
         p0f, p1f = p01[:B], p01[B:]
         Sg0f, Sg1f = Sg01[:B], Sg01[B:]
@@ -693,18 +709,18 @@ class PhysicsLoss:
 
         # ---- forwards (doubled-batch over the two time levels) -------------
         m = self.models
-        dt0f = m["time_step"].apply(params["time_step"], x, training=True)
+        dt0f = self._net("time_step", params, x)
         tstep = jnp.mean(dt0f, axis=tuple(range(1, dt0f.ndim - 1)), keepdims=True)
         dt_norm = self._norm_dt(tstep)
         x1 = x.at[..., 3:4].add(jnp.broadcast_to(dt_norm, x[..., 3:4].shape))
-        dt1f = m["time_step"].apply(params["time_step"], x1, training=True)
+        dt1f = self._net("time_step", params, x1)
         tstep2 = jnp.mean(dt1f, axis=tuple(range(1, dt1f.ndim - 1)), keepdims=True)
 
         B = x.shape[0]
         x01 = jnp.concatenate([x, x1], axis=0)
-        p01 = m["pressure"].apply(params["pressure"], x01, training=True)
-        Sg01 = jnp.clip(m["saturation_model"].apply(params["saturation_model"], x01,
-                                                    training=True), 0.0, self.Sgi)
+        p01 = self._net("pressure", params, x01)
+        Sg01 = jnp.clip(self._net("saturation_model", params, x01),
+                        0.0, self.Sgi)
         pvt01 = m["pvt_model"].apply(params["pvt_model"], p01)
         p0f, p1f = p01[:B], p01[B:]
         Sg0f, Sg1f = Sg01[:B], Sg01[B:]

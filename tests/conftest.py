@@ -26,7 +26,8 @@ import jax  # noqa: E402
 # a sitecustomize may force-register an accelerator platform over the env
 # var; the in-process config update takes final precedence
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SRM_TPU_JAX_CACHE", "/tmp/srm_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
