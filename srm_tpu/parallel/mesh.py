@@ -1,11 +1,19 @@
-"""Device mesh and sharding helpers for data-parallel SRM training.
+"""Device mesh and sharding helpers for data- and spatial-parallel training.
 
 The reference is single-device (hard-coded ``tf.device('/GPU:0')``,
-SURVEY §2.4); this module is the new first-class TPU capability: a 1-D
-``jax.sharding.Mesh`` over the 'data' axis, NamedShardings that shard the
-collapsed (realization x time) batch axis across ICI, and replication specs
-for parameters. Under ``jit`` the gradient sums become XLA all-reduces over
-the mesh — no hand-written collectives needed for pure data parallelism.
+SURVEY §2.4); this module is the new first-class TPU capability:
+
+* a 1-D ``Mesh(('data',))`` shards the collapsed (realization × time) batch
+  axis across ICI — pure data parallelism, gradient sums become XLA
+  all-reduces;
+* a 2-D ``Mesh(('data', 'space'))`` additionally shards the H spatial axis
+  (axis 2 of the ``(B, D, H, W[, C])`` layout). The stencil's shifted reads
+  become XLA SPMD halo exchanges (collective-permutes over ICI) — no
+  hand-written collectives; use it when one chip's HBM cannot hold the
+  activations of a single sample (very large grids).
+
+All helpers derive their PartitionSpecs from ``mesh.axis_names``, so a
+trainer written against them runs unchanged on either mesh shape.
 """
 
 from __future__ import annotations
@@ -16,37 +24,66 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+SPATIAL_AXIS = 2   # H in the (B, D, H, W[, C]) sample layout
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              spatial: int = 1) -> Mesh:
+    """1-D data mesh, or (n/spatial, spatial) ('data','space') when spatial>1."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if spatial > 1:
+        assert n % spatial == 0, f"{n} devices not divisible by spatial={spatial}"
+        arr = np.array(devices[:n]).reshape(n // spatial, spatial)
+        return Mesh(arr, (axis_name, "space"))
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Shard the leading (batch) axis; everything else replicated."""
-    return NamedSharding(mesh, P(axis_name))
+def _spec_for_rank(mesh: Mesh, rank: int, axis_name: str = "data",
+                   batch_axis: int = 0) -> P:
+    """Batch axis on 'data'; H (SPATIAL_AXIS after the batch axis offset) on
+    'space' when the mesh has one and the array is spatial (rank ≥ 4)."""
+    parts: list = [None] * rank
+    parts[batch_axis] = axis_name
+    spatial_axis = batch_axis + SPATIAL_AXIS
+    if "space" in mesh.axis_names and rank - batch_axis >= 4 and spatial_axis < rank:
+        parts[spatial_axis] = "space"
+    return P(*parts)
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data",
+                   rank: Optional[int] = None,
+                   batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch axis (and H over 'space' on a 2-D mesh)."""
+    if rank is None:
+        return NamedSharding(mesh, P(*([None] * batch_axis + [axis_name])))
+    return NamedSharding(mesh, _spec_for_rank(mesh, rank, axis_name, batch_axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a pytree of host arrays with the batch axis sharded.
+def shard_batch(x, mesh: Mesh, axis_name: str = "data", batch_axis: int = 0):
+    """Device-put a pytree of host arrays with the batch axis sharded
+    ('data') and, on a 2-D mesh, the H axis sharded ('space').
 
-    Arrays whose leading dimension is not divisible by the mesh size are
-    replicated instead (correct but redundant compute) — sharding them would
-    be a hard error in ``device_put``. Keep batch sizes a multiple of the
-    device count for full data-parallel efficiency.
+    Arrays whose sharded dimensions are not divisible by the corresponding
+    mesh axis are replicated instead (correct but redundant compute) —
+    sharding them would be a hard error in ``device_put``. Keep batch sizes
+    a multiple of the data-axis size for full efficiency.
     """
-    n = int(np.prod(mesh.devices.shape))
-    sh = batch_sharding(mesh, axis_name)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     rep = replicated(mesh)
 
     def put(a):
-        divisible = getattr(a, "ndim", 0) > 0 and a.shape[0] % n == 0
-        return jax.device_put(a, sh if divisible else rep)
+        rank = getattr(a, "ndim", 0)
+        if rank <= batch_axis:
+            return jax.device_put(a, rep)
+        spec = _spec_for_rank(mesh, rank, axis_name, batch_axis)
+        ok = all(p is None or a.shape[i] % sizes[p] == 0
+                 for i, p in enumerate(spec))
+        return jax.device_put(a, NamedSharding(mesh, spec) if ok else rep)
 
     return jax.tree_util.tree_map(put, x)
 

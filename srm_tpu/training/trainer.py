@@ -146,9 +146,13 @@ class Trainer:
     # host→device traffic: one PRNG key. (Essential under remote-attached
     # TPUs where the host link is slow; also optimal locally.)
     def _gather_batch(self, data, idx):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P("data"))
-        take = lambda a: jax.lax.with_sharding_constraint(a[idx], sh)  # noqa: E731
+        from srm_tpu.parallel.mesh import batch_sharding
+
+        def take(a):
+            out = a[idx]
+            sh = batch_sharding(self.mesh, rank=out.ndim)
+            return jax.lax.with_sharding_constraint(out, sh)
+
         return jax.tree_util.tree_map(take, data)
 
     def _train_epoch_resident_impl(self, params, opt_state, key, data, nb):
@@ -223,9 +227,9 @@ class Trainer:
 
     def _shard_epoch(self, tree):
         """(num_batches, B, ...) host arrays → device, batch axis (1) sharded."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        sh = NamedSharding(self.mesh, P(None, "data"))
-        return jax.tree_util.tree_map(lambda a: jax.device_put(jnp.asarray(a), sh), tree)
+        from srm_tpu.parallel.mesh import shard_batch
+        return shard_batch(jax.tree_util.tree_map(jnp.asarray, tree),
+                           self.mesh, batch_axis=1)
 
     def train_epoch(self, x_batches, y_batches):
         """Run all (num_batches, B, ...) batches in one device call; returns
