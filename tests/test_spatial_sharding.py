@@ -54,3 +54,35 @@ def test_dp_sp_train_step_matches_unsharded(sp_case):
     xs = shard_batch(jnp.asarray(xb), mesh)
     spec = xs.sharding.spec
     assert tuple(spec) == ("data", None, "space", None, None)
+
+
+def test_remat_forwards_matches_baseline(sp_case):
+    """remat_forwards recomputes activations in the backward pass; forward
+    values and gradients must be numerically identical to the stored-
+    activation baseline (jax.checkpoint changes memory, not math)."""
+    import copy
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    base = sp_case["loss_fn"]
+    g = copy.deepcopy(sp_case["general_config"])
+    g["remat_forwards"] = True
+    rem = PhysicsLoss(base.models, base.data_summary, general_config=g,
+                      reservoir_config=base.reservoir_config,
+                      wells_config=base.wells_config, fluid_type="DG",
+                      use_pallas_stencil=False)
+    assert rem.remat_forwards and not base.remat_forwards
+
+    x, y = sp_case["train_groups"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    t_ref, _ = base.loss_and_metrics(sp_case["params"], xb, yb)
+    t_rem, _ = rem.loss_and_metrics(sp_case["params"], xb, yb)
+    assert float(t_rem) == pytest.approx(float(t_ref), rel=1e-6)
+
+    _, g_ref, _ = base.pinn_batch_sse_grad(sp_case["params"], xb, yb)
+    _, g_rem, _ = rem.pinn_batch_sse_grad(sp_case["params"], xb, yb)
+    for k in g_ref:
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref[k]),
+                        jax.tree_util.tree_leaves(g_rem[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
