@@ -124,6 +124,130 @@ def dg_residual_from_fields(p0: Array, p1: Array, invBg0: Array, invBg1: Array,
     return dom, ibc, mbc, trn_err
 
 
+def gc_residual_from_fields(p0: Array, p1: Array, Sg0: Array, Sg1: Array,
+                            invBg0: Array, invBo0: Array, Rs0: Array, Rv0: Array,
+                            invBg1: Array, invBo1: Array, invug1: Array,
+                            invuo1: Array, Rs1: Array, Rv1: Array,
+                            dinvBg0: Array, dinvBo0: Array, dRs0: Array,
+                            dRv0: Array, krgo1: Array, krog1: Array,
+                            qfg1c: Array, qdg1c: Array, qfo1c: Array,
+                            qvo1c: Array, q_well: Array, kx_c: Array,
+                            phi_c: Array, t1: Array, t2: Array,
+                            C: float, D: float, dx: float, dy: float, dz: float,
+                            Swmin: float) -> Tuple[Array, ...]:
+    """Gas-condensate two-phase FV residual from explicit (B, H, W) fields.
+
+    The stencil core of ``physics_error_gas_oil_2D``
+    (ref physics_loss.py:400-693) as a pure function of fields — shared by
+    :meth:`PhysicsLoss._residuals_gc` and the TF-reference golden test
+    (tests/test_tf_golden.py), which feeds both implementations identical
+    synthetic fields. ``So`` is closed as ``1 - Swmin - Sg`` (no water phase).
+
+    Returns ``(dom_g, dom_o, ibc, mbc_g, mbc_o, trn_g, trn_o)``.
+    """
+    dv = dx * dy * dz
+    kx_ih, kx_i_h, ky_jh, ky_j_h = harmonic_faces(neighbors(pad_symmetric(kx_c)))
+    cf = 97.32e-6 / (1.0 + 55.8721 * phi_c**1.428586)          # (ref :64)
+    So0 = 1.0 - Swmin - Sg0
+    So1 = 1.0 - Swmin - Sg1
+
+    # surface-mass accumulations m_g, m_o (ref :419-427)
+    RsinvBo0, RvinvBg0 = Rs0 * invBo0, Rv0 * invBg0
+    RsinvBo1, RvinvBg1 = Rs1 * invBo1, Rv1 * invBg1
+    mg0 = phi_c * (invBg0 * Sg0 + RsinvBo0 * So0)
+    mo0 = phi_c * (invBo0 * So0 + RvinvBg0 * Sg0)
+    mg1 = phi_c * (invBg1 * Sg1 + RsinvBo1 * So1)
+    mo1 = phi_c * (invBo1 * So1 + RvinvBg1 * Sg1)
+    ratio = 1.0 + t2 / jnp.maximum(t1, 1e-12)
+    mg2 = (mg1 - mg0) * ratio + mg0
+    mo2 = (mo1 - mo0) * ratio + mo0
+
+    # per-phase Richardson truncation errors (ref :433-436)
+    rte = EPSILON * 0.25
+    denom_t = t1 * t2 + t2**2
+    trn_g = (dv / D) * (rte / t1 + (t2 * mg0 + t1 * mg2 - (t1 + t2) * mg1) / denom_t)
+    trn_o = (dv / D) * (rte / t1 + (t2 * mo0 + t1 * mo2 - (t1 + t2) * mo1) / denom_t)
+
+    # upstream relperm weighting at n1 faces (ref :453-551)
+    krn_go = neighbors(pad_symmetric(krgo1))
+    krn_og = neighbors(pad_symmetric(krog1))
+    pn = neighbors(pad_symmetric(p1))
+    krgo_ih, krgo_i_h, krgo_jh, krgo_j_h = upstream_faces(krn_go, pn)
+    krog_ih, krog_i_h, krog_jh, krog_j_h = upstream_faces(krn_og, pn)
+
+    # face-averaged fluid-property products (ref :517-525)
+    def favg(f):
+        return average_faces(neighbors(pad_symmetric(f)))
+
+    bgug_faces = favg(invBg1 * invug1)
+    bouo_faces = favg(invBo1 * invuo1)
+    rvbgug_faces = favg(Rv1 * invBg1 * invug1)
+    rsbouo_faces = favg(Rs1 * invBo1 * invuo1)
+
+    # chord-slope saturation derivatives (ref :465-468)
+    dp = p1 - p0
+    safe_dp = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
+    d_Sg = jnp.where(jnp.abs(dp) > 0, (Sg1 - Sg0) / safe_dp, 0.0)
+    d_So = jnp.where(jnp.abs(dp) > 0, (So1 - So0) / safe_dp, 0.0)
+
+    # derivative products at n0 (ref :506-514)
+    d_RsinvBo = Rs0 * dinvBo0 + invBo0 * dRs0
+    d_RvinvBg = Rv0 * dinvBg0 + invBg0 * dRv0
+
+    # rock-compressibility products (ref :556-560)
+    cprgg = phi_c * cf * invBg0
+    cprgo = phi_c * cf * RsinvBo0
+    cproo = phi_c * cf * invBo0
+    cprog = phi_c * cf * RvinvBg0
+
+    inv_dxx = 1.0 / (dx * dx)
+    inv_dyy = 1.0 / (dy * dy)
+
+    def trans(kr_faces, prop_faces):
+        (kr_ih, kr_i_h, kr_jh, kr_j_h) = kr_faces
+        (pr_ih, pr_i_h, pr_jh, pr_j_h) = prop_faces
+        a_ih = C * kx_ih * kr_ih * pr_ih * inv_dxx
+        a_i_h = C * kx_i_h * kr_i_h * pr_i_h * inv_dxx
+        a_jh = C * ky_jh * kr_jh * pr_jh * inv_dyy
+        a_j_h = C * ky_j_h * kr_j_h * pr_j_h * inv_dyy
+        return a_ih, a_i_h, a_jh, a_j_h
+
+    kr_g = (krgo_ih, krgo_i_h, krgo_jh, krgo_j_h)
+    kr_o = (krog_ih, krog_i_h, krog_jh, krog_j_h)
+    agg = trans(kr_g, bgug_faces)
+    ago = trans(kr_o, rsbouo_faces)
+    aoo = trans(kr_o, bouo_faces)
+    aog = trans(kr_g, rvbgug_faces)
+
+    # accumulation coefficients (ref :572-586)
+    inv_Dt = 1.0 / (D * t1)
+    cpgg = inv_Dt * (phi_c * invBg1 * d_Sg + Sg0 * (phi_c * dinvBg0 + cprgg)) * dp
+    cpgo = inv_Dt * (phi_c * RsinvBo1 * d_So + So0 * (phi_c * d_RsinvBo + cprgo)) * dp
+    cpoo = inv_Dt * (phi_c * invBo1 * d_So + So0 * (phi_c * dinvBo0 + cproo)) * dp
+    cpog = inv_Dt * (phi_c * RvinvBg1 * d_Sg + Sg0 * (phi_c * d_RvinvBg + cprog)) * dp
+
+    dom_divq_gg = five_point_divergence(agg[0], agg[1], agg[2], agg[3], pn, qfg1c / dv, dv)
+    dom_divq_go = five_point_divergence(ago[0], ago[1], ago[2], ago[3], pn, qdg1c / dv, dv)
+    dom_divq_oo = five_point_divergence(aoo[0], aoo[1], aoo[2], aoo[3], pn, qfo1c / dv, dv)
+    dom_divq_og = five_point_divergence(aog[0], aog[1], aog[2], aog[3], pn, qvo1c / dv, dv)
+
+    dom_g = (dom_divq_gg + dv * cpgg) + (dom_divq_go + dv * cpgo)
+    dom_o = (dom_divq_oo + dv * cpoo) + (dom_divq_og + dv * cpog)
+    ibc = q_well * ((dom_divq_gg + dom_divq_go) + (dom_divq_oo + dom_divq_og))
+
+    # per-phase tank material balance (ref :655-665)
+    mbc_gg = dv * inv_Dt * phi_c * (Sg1 * invBg1 - Sg0 * invBg0)
+    mbc_go = dv * inv_Dt * phi_c * (So1 * RsinvBo1 - So0 * RsinvBo0)
+    mbc_oo = dv * inv_Dt * phi_c * (So1 * invBo1 - So0 * invBo0)
+    mbc_og = dv * inv_Dt * phi_c * (Sg1 * RvinvBg1 - Sg0 * RvinvBg0)
+    mbc_g = (-jnp.sum(qfg1c + qdg1c, axis=(1, 2))
+             - jnp.sum(mbc_gg + mbc_go, axis=(1, 2)))
+    mbc_o = (-jnp.sum(qfo1c + qvo1c, axis=(1, 2))
+             - jnp.sum(mbc_oo + mbc_og, axis=(1, 2)))
+
+    return dom_g, dom_o, ibc, mbc_g, mbc_o, trn_g, trn_o
+
+
 class PhysicsLoss:
     """Composes the model map into PDE residual losses with per-model grads.
 
@@ -499,8 +623,7 @@ class PhysicsLoss:
         of water (the reference's missing class stacked [p, Sg, So, ...]).
         """
         C, D = self.C, self.D
-        kx_c, phi_c, _, dv, kfaces, cf = self._static_fields(x)
-        kx_ih, kx_i_h, ky_jh, ky_j_h = kfaces
+        kx_c, phi_c, _, dv, _kfaces, _cf = self._static_fields(x)
         q_well = jnp.asarray(self.q_well_idx)
         sq = self._sq
 
@@ -530,8 +653,6 @@ class PhysicsLoss:
 
         p0, p1 = sq(p0f), sq(p1f)
         Sg0, Sg1 = sq(Sg0f), sq(Sg1f)
-        So0 = 1.0 - self.Swmin - Sg0
-        So1 = 1.0 - self.Swmin - Sg1
         t1 = tstep[:, 0, :, :, 0]
         t2 = tstep2[:, 0, :, :, 0]
 
@@ -543,23 +664,6 @@ class PhysicsLoss:
         invBg1, invBo1, invug1, invuo1, Rs1, Rv1 = props(pvt1)
         dinvBg0, dinvBo0 = sq(pvt0[1, 0]), sq(pvt0[1, 1])
         dRs0, dRv0 = sq(pvt0[1, 4]), sq(pvt0[1, 5])
-
-        # surface-mass accumulations m_g, m_o (ref :419-427)
-        RsinvBo0, RvinvBg0 = Rs0 * invBo0, Rv0 * invBg0
-        RsinvBo1, RvinvBg1 = Rs1 * invBo1, Rv1 * invBg1
-        mg0 = phi_c * (invBg0 * Sg0 + RsinvBo0 * So0)
-        mo0 = phi_c * (invBo0 * So0 + RvinvBg0 * Sg0)
-        mg1 = phi_c * (invBg1 * Sg1 + RsinvBo1 * So1)
-        mo1 = phi_c * (invBo1 * So1 + RvinvBg1 * Sg1)
-        ratio = 1.0 + t2 / jnp.maximum(t1, 1e-12)
-        mg2 = (mg1 - mg0) * ratio + mg0
-        mo2 = (mo1 - mo0) * ratio + mo0
-
-        # per-phase Richardson truncation errors (ref :433-436)
-        rte = EPSILON * 0.25
-        denom_t = t1 * t2 + t2**2
-        trn_g = (dv / D) * (rte / t1 + (t2 * mg0 + t1 * mg2 - (t1 + t2) * mg1) / denom_t)
-        trn_o = (dv / D) * (rte / t1 + (t2 * mo0 + t1 * mo2 - (t1 + t2) * mo1) / denom_t)
 
         if self.use_pallas_stencil:
             # fused single-VMEM-pass two-phase residual (the heavy 4-flux
@@ -591,86 +695,16 @@ class PhysicsLoss:
                 "outputs": out,
             }
 
-        # relperm at n1 + upstream weighting (ref :453-551)
+        # field-level stencil math shared with the TF golden test
         krog1_full, krgo1_full = self.relperm(Sg1)
-        krn_go = neighbors(pad_symmetric(krgo1_full))
-        krn_og = neighbors(pad_symmetric(krog1_full))
-        pn = neighbors(pad_symmetric(p1))
-        krgo_ih, krgo_i_h, krgo_jh, krgo_j_h = upstream_faces(krn_go, pn)
-        krog_ih, krog_i_h, krog_jh, krog_j_h = upstream_faces(krn_og, pn)
-
-        # face-averaged fluid-property products (ref :517-525)
-        def favg(f):
-            return average_faces(neighbors(pad_symmetric(f)))
-
-        bgug_ih, bgug_i_h, bgug_jh, bgug_j_h = favg(invBg1 * invug1)
-        bouo_ih, bouo_i_h, bouo_jh, bouo_j_h = favg(invBo1 * invuo1)
-        rvbgug_ih, rvbgug_i_h, rvbgug_jh, rvbgug_j_h = favg(Rv1 * invBg1 * invug1)
-        rsbouo_ih, rsbouo_i_h, rsbouo_jh, rsbouo_j_h = favg(Rs1 * invBo1 * invuo1)
-
-        # chord-slope saturation derivatives (ref :465-468)
-        dp = p1 - p0
-        safe_dp = jnp.where(jnp.abs(dp) > 0, dp, 1.0)
-        d_Sg = jnp.where(jnp.abs(dp) > 0, (Sg1 - Sg0) / safe_dp, 0.0)
-        d_So = jnp.where(jnp.abs(dp) > 0, (So1 - So0) / safe_dp, 0.0)
-
-        # derivative products at n0 (ref :506-514)
-        d_invBg = dinvBg0
-        d_invBo = dinvBo0
-        d_RsinvBo = Rs0 * dinvBo0 + invBo0 * dRs0
-        d_RvinvBg = Rv0 * dinvBg0 + invBg0 * dRv0
-
-        # rock-compressibility products (ref :556-560)
-        cprgg = phi_c * cf * invBg0
-        cprgo = phi_c * cf * RsinvBo0
-        cproo = phi_c * cf * invBo0
-        cprog = phi_c * cf * RvinvBg0
-
-        inv_dxx = 1.0 / (self.dx * self.dx)
-        inv_dyy = 1.0 / (self.dy * self.dy)
-
-        def trans(kr_faces, prop_faces):
-            (kr_ih, kr_i_h, kr_jh, kr_j_h) = kr_faces
-            (pr_ih, pr_i_h, pr_jh, pr_j_h) = prop_faces
-            a_ih = C * kx_ih * kr_ih * pr_ih * inv_dxx
-            a_i_h = C * kx_i_h * kr_i_h * pr_i_h * inv_dxx
-            a_jh = C * ky_jh * kr_jh * pr_jh * inv_dyy
-            a_j_h = C * ky_j_h * kr_j_h * pr_j_h * inv_dyy
-            return a_ih, a_i_h, a_jh, a_j_h
-
-        agg = trans((krgo_ih, krgo_i_h, krgo_jh, krgo_j_h), (bgug_ih, bgug_i_h, bgug_jh, bgug_j_h))
-        ago = trans((krog_ih, krog_i_h, krog_jh, krog_j_h), (rsbouo_ih, rsbouo_i_h, rsbouo_jh, rsbouo_j_h))
-        aoo = trans((krog_ih, krog_i_h, krog_jh, krog_j_h), (bouo_ih, bouo_i_h, bouo_jh, bouo_j_h))
-        aog = trans((krgo_ih, krgo_i_h, krgo_jh, krgo_j_h), (rvbgug_ih, rvbgug_i_h, rvbgug_jh, rvbgug_j_h))
-
-        # accumulation coefficients (ref :572-586)
-        inv_Dt = 1.0 / (D * t1)
-        cpgg = inv_Dt * (phi_c * invBg1 * d_Sg + Sg0 * (phi_c * d_invBg + cprgg)) * dp
-        cpgo = inv_Dt * (phi_c * RsinvBo1 * d_So + So0 * (phi_c * d_RsinvBo + cprgo)) * dp
-        cpoo = inv_Dt * (phi_c * invBo1 * d_So + So0 * (phi_c * d_invBo + cproo)) * dp
-        cpog = inv_Dt * (phi_c * RvinvBg1 * d_Sg + Sg0 * (phi_c * d_RvinvBg + cprog)) * dp
-
         qfg1c, qdg1c = sq(qfg1), sq(qdg1)
         qfo1c, qvo1c = sq(qfo1), sq(qvo1)
-
-        dom_divq_gg = five_point_divergence(agg[0], agg[1], agg[2], agg[3], pn, qfg1c / dv, dv)
-        dom_divq_go = five_point_divergence(ago[0], ago[1], ago[2], ago[3], pn, qdg1c / dv, dv)
-        dom_divq_oo = five_point_divergence(aoo[0], aoo[1], aoo[2], aoo[3], pn, qfo1c / dv, dv)
-        dom_divq_og = five_point_divergence(aog[0], aog[1], aog[2], aog[3], pn, qvo1c / dv, dv)
-
-        dom_g = (dom_divq_gg + dv * cpgg) + (dom_divq_go + dv * cpgo)
-        dom_o = (dom_divq_oo + dv * cpoo) + (dom_divq_og + dv * cpog)
-        ibc = q_well * ((dom_divq_gg + dom_divq_go) + (dom_divq_oo + dom_divq_og))
-
-        # per-phase tank material balance (ref :655-665)
-        mbc_gg = dv * inv_Dt * phi_c * (Sg1 * invBg1 - Sg0 * invBg0)
-        mbc_go = dv * inv_Dt * phi_c * (So1 * RsinvBo1 - So0 * RsinvBo0)
-        mbc_oo = dv * inv_Dt * phi_c * (So1 * invBo1 - So0 * invBo0)
-        mbc_og = dv * inv_Dt * phi_c * (Sg1 * RvinvBg1 - Sg0 * RvinvBg0)
-        mbc_g = (-jnp.sum(qfg1c + qdg1c, axis=(1, 2))
-                 - jnp.sum(mbc_gg + mbc_go, axis=(1, 2)))
-        mbc_o = (-jnp.sum(qfo1c + qvo1c, axis=(1, 2))
-                 - jnp.sum(mbc_oo + mbc_og, axis=(1, 2)))
+        (dom_g, dom_o, ibc, mbc_g, mbc_o, trn_g, trn_o) = gc_residual_from_fields(
+            p0, p1, Sg0, Sg1, invBg0, invBo0, Rs0, Rv0,
+            invBg1, invBo1, invug1, invuo1, Rs1, Rv1,
+            dinvBg0, dinvBo0, dRs0, dRv0, krgo1_full, krog1_full,
+            qfg1c, qdg1c, qfo1c, qvo1c, q_well, kx_c, phi_c, t1, t2,
+            C, D, self.dx, self.dy, self.dz, self.Swmin)
 
         zeros = jnp.zeros_like(dom_g)
         out = {"p_n0": p0f, "p_n1": p1f, "Sg_n0": Sg0f, "Sg_n1": Sg1f,

@@ -15,12 +15,20 @@ import numpy as np
 import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "tf_dg_residual.npz")
+GOLDEN_GC = os.path.join(os.path.dirname(__file__), "golden", "tf_gc_residual.npz")
 
 
 @pytest.fixture(scope="module")
 def golden():
     assert os.path.exists(GOLDEN), "run tools/make_tf_golden.py first"
     with np.load(GOLDEN) as z:
+        return {k: z[k] for k in z.files}
+
+
+@pytest.fixture(scope="module")
+def golden_gc():
+    assert os.path.exists(GOLDEN_GC), "run tools/make_tf_golden_gc.py first"
+    with np.load(GOLDEN_GC) as z:
         return {k: z[k] for k in z.files}
 
 
@@ -57,3 +65,73 @@ def test_dg_residual_matches_tf_reference(golden):
     np.testing.assert_allclose(np.asarray(ibc), ibc_ref,
                                rtol=1e-4, atol=1e-4 * np.abs(ibc_ref).max())
     np.testing.assert_allclose(np.asarray(mbc), np.asarray(g["mbc"]), rtol=1e-4)
+
+
+def test_gc_residual_matches_tf_reference(golden_gc):
+    """Two-phase (gas-condensate) parity vs the executed TF reference's
+    ``physics_error_gas_oil_2D`` (ref physics_loss.py:230-712): 4-flux
+    upstream divergences, chord-slope dS/dp, per-phase accumulation + MBC,
+    and the per-phase Richardson truncation error (cmbc)."""
+    from srm_tpu.losses.physics_loss import gc_residual_from_fields
+
+    g = golden_gc
+    p0, p1 = jnp.asarray(g["p0"]), jnp.asarray(g["p1"])
+    Sg0, Sg1 = jnp.asarray(g["sg0"]), jnp.asarray(g["sg1"])
+    kx = jnp.asarray(g["kx"])
+    phi = jnp.full_like(p0, float(g["phi"]))
+    # linear PVT closures: rows (invBg, invBo, invug, invuo, Rs, Rv)
+    lin = np.asarray(g["pvt_lin"])
+
+    def prop(i, p):
+        return lin[i, 0] + lin[i, 1] * p
+
+    invBg0, invBo0 = prop(0, p0), prop(1, p0)
+    Rs0, Rv0 = prop(4, p0), prop(5, p0)
+    invBg1, invBo1 = prop(0, p1), prop(1, p1)
+    invug1, invuo1 = prop(2, p1), prop(3, p1)
+    Rs1, Rv1 = prop(4, p1), prop(5, p1)
+    dinvBg0 = jnp.full_like(p0, lin[0, 1])
+    dinvBo0 = jnp.full_like(p0, lin[1, 1])
+    dRs0 = jnp.full_like(p0, lin[4, 1])
+    dRv0 = jnp.full_like(p0, lin[5, 1])
+
+    qfg1, qdg1 = jnp.asarray(g["qfg1"]), jnp.asarray(g["qdg1"])
+    qfo1, qvo1 = jnp.asarray(g["qfo1"]), jnp.asarray(g["qvo1"])
+    q_well = (qfg1[0] > 0).astype(jnp.float32)
+    t1, t2 = jnp.asarray(g["t1"]), jnp.asarray(g["t2"])
+
+    dom_g, dom_o, ibc, mbc_g, mbc_o, trn_g, trn_o = gc_residual_from_fields(
+        p0, p1, Sg0, Sg1, invBg0, invBo0, Rs0, Rv0,
+        invBg1, invBo1, invug1, invuo1, Rs1, Rv1,
+        dinvBg0, dinvBo0, dRs0, dRv0,
+        jnp.asarray(g["krgo1"]), jnp.asarray(g["krog1"]),
+        qfg1, qdg1, qfo1, qvo1, q_well, kx, phi, t1, t2,
+        C=0.001127, D=5.6145833334,
+        dx=float(g["dx"]), dy=float(g["dy"]), dz=float(g["dz"]),
+        Swmin=float(g["Swmin"]))
+
+    dom_ref = np.asarray(g["dom"])
+    np.testing.assert_allclose(np.asarray(dom_g + dom_o), dom_ref,
+                               rtol=1e-4, atol=1e-4 * np.abs(dom_ref).max())
+    ibc_ref = np.asarray(g["ibc"])
+    np.testing.assert_allclose(np.asarray(ibc), ibc_ref,
+                               rtol=1e-4, atol=1e-4 * np.abs(ibc_ref).max())
+    np.testing.assert_allclose(np.asarray(mbc_g + mbc_o), np.asarray(g["mbc"]),
+                               rtol=1e-4)
+    # cmbc ≡ trn_err: the Richardson numerator t2·m0 + t1·m2 − (t1+t2)·m1
+    # cancels algebraically (m2 is extrapolated with the same ratio), so the
+    # reference's f32 value is reassociation roundoff plus the deterministic
+    # rte/t1 part (same situation the DG residual documents at
+    # physics_loss.py::dg_residual_from_fields). Parity claim: agreement to
+    # within the analytic f32 cancellation-noise floor of the numerator.
+    cmbc_ref = np.asarray(g["cmbc"])
+    dv = float(g["dx"]) * float(g["dy"]) * float(g["dz"])
+    t1n, t2n = np.asarray(t1), np.asarray(t2)
+    mg_scale = float(np.max(np.abs(
+        phi * (invBg1 * Sg1 + Rs1 * invBo1 * (1 - float(g["Swmin"]) - Sg1)))))
+    mo_scale = float(np.max(np.abs(
+        phi * (invBo1 * (1 - float(g["Swmin"]) - Sg1) + Rv1 * invBg1 * Sg1))))
+    denom_min = float(np.min(t1n * t2n + t2n**2))
+    noise = (8.0 * np.finfo(np.float32).eps * (dv / 5.6145833334)
+             * float(np.max(t1n + t2n)) * (mg_scale + mo_scale) / denom_min)
+    np.testing.assert_allclose(np.asarray(trn_g + trn_o), cmbc_ref, atol=noise)
