@@ -28,9 +28,11 @@ class ModelPlotter:
     """
 
     def __init__(self, models, params, test_pairs, time_channel: int = -2,
-                 data_summary=None, norm_config=None, batch_size: int = 64):
+                 data_summary=None, norm_config=None, batch_size: int = 64,
+                 model_key: str = "pressure"):
         self.models = models
         self.params = params
+        self.model_key = model_key
         self.test_pairs = test_pairs
         self.time_channel = time_channel
         self.data_summary = data_summary
@@ -54,8 +56,8 @@ class ModelPlotter:
     def _predict_fn(self):
         if self._predict is None:
             import jax
-            model = self.models["pressure"]
-            params = self.params["pressure"]
+            model = self.models[self.model_key]
+            params = self.params[self.model_key]
             self._predict = jax.jit(lambda x: model.apply(params, x))
         return self._predict
 
@@ -171,10 +173,11 @@ class ModelPlotter:
 
 
 def pressure_rmse(models, params, test_pairs, key: str = "PRESSURE",
-                  batch_size: int = 64) -> float:
+                  batch_size: int = 64, model_key: str = "pressure") -> float:
     """RMSE of the pressure model against test labels — the accuracy metric
     from BASELINE.md's measurement plan."""
-    plotter = ModelPlotter(models, params, test_pairs, batch_size=batch_size)
+    plotter = ModelPlotter(models, params, test_pairs, batch_size=batch_size,
+                           model_key=model_key)
     feats, labels = test_pairs[0]
     feats = np.asarray(feats)
     if feats.ndim == 5:
@@ -183,3 +186,10 @@ def pressure_rmse(models, params, test_pairs, key: str = "PRESSURE",
     true = np.asarray(labels[key]) if isinstance(labels, dict) else np.asarray(labels)
     true = true.reshape(pred.shape)
     return float(np.sqrt(np.mean((pred - true) ** 2)))
+
+
+def saturation_rmse(models, params, test_pairs, key: str = "SGAS",
+                    batch_size: int = 64) -> float:
+    """RMSE of the GC saturation model against SGAS test labels."""
+    return pressure_rmse(models, params, test_pairs, key=key,
+                         batch_size=batch_size, model_key="saturation_model")

@@ -14,30 +14,32 @@ from typing import Dict, Optional
 import numpy as np
 
 from srm_tpu.sim.fv_simulator import (
-    FVProblem, build_problem, simulate_dry_gas, simulate_realizations,
+    FVProblem, build_problem, simulate_dry_gas, simulate_gas_condensate,
+    simulate_realizations, simulate_realizations_gc,
 )
 
 log = logging.getLogger(__name__)
 
 __all__ = ["FVProblem", "build_problem", "simulate_dry_gas",
-           "simulate_realizations", "simulate_labels"]
+           "simulate_gas_condensate", "simulate_realizations",
+           "simulate_realizations_gc", "simulate_labels"]
 
 
 def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
                     times: Optional[np.ndarray] = None
                     ) -> Optional[Dict[str, np.ndarray]]:
-    """PRESSURE labels (K, T, Nz, Ny, Nx) for one split via the FV simulator.
+    """Simulator labels (K, T, Nz, Ny, Nx per key) for one split.
 
-    Dry-gas only: two-phase (GC) label generation would need a compositional
-    simulator; callers fall back to zero labels for GC.
+    DG → {PRESSURE}; GC → {PRESSURE, SGAS} via the two-phase implicit FV
+    solver (:func:`simulate_gas_condensate`) — NEW capability, the reference
+    requires an external compositional simulator for GC labels
+    (ref srm_data_processing.py:454-514).
     """
-    if processor.general_config["fluid_type"].upper() != "DG":
-        log.warning("FV simulator labels are dry-gas only; returning None")
-        return None
     from srm_tpu.config import DEFAULT_SCAL_CONFIG, get_configuration
     from srm_tpu.physics.pvt import make_pvt_layer
     import jax
 
+    fluid = processor.general_config["fluid_type"].upper()
     if permx is None:
         permx = processor.generate_kle_splits()[split]
     if times is None:
@@ -46,7 +48,7 @@ def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
     if permx.shape[0] == 0 or times.size < 2:
         return None   # empty split: caller falls back to zero labels
 
-    pvt_cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    pvt_cfg = get_configuration("pvt_layer", fluid_type=fluid, fitting_method="spline")
     pvt_cfg["spline_order"] = 1
     layer = make_pvt_layer(pvt_cfg)
     params = layer.init(jax.random.PRNGKey(0), np.zeros((4,), np.float32))
@@ -54,8 +56,18 @@ def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
 
     prob, kscale = build_problem(processor.reservoir_config, processor.wells_config,
                                  DEFAULT_SCAL_CONFIG, processor.general_config)
-    log.info("FV simulator: %d realizations × %d times on grid %s",
-             permx.shape[0], times.size, prob.shape)
-    p = simulate_realizations(prob, kscale, np.asarray(permx, np.float32),
-                              np.asarray(times, np.float32), pvt_fn)
-    return {"PRESSURE": np.asarray(p)}
+    log.info("FV simulator (%s): %d realizations × %d times on grid %s",
+             fluid, permx.shape[0], times.size, prob.shape)
+    if fluid == "DG":
+        p = simulate_realizations(prob, kscale, np.asarray(permx, np.float32),
+                                  np.asarray(times, np.float32), pvt_fn)
+        return {"PRESSURE": np.asarray(p)}
+    from srm_tpu.physics.relperm import RelativePermeability
+    scal = DEFAULT_SCAL_CONFIG
+    relperm = RelativePermeability.from_config(scal["end_points"],
+                                               scal["corey_exponents"])
+    p, sg = simulate_realizations_gc(
+        prob, kscale, np.asarray(permx, np.float32),
+        np.asarray(times, np.float32), pvt_fn, relperm,
+        Swmin=scal["end_points"]["Swmin"])
+    return {"PRESSURE": np.asarray(p), "SGAS": np.asarray(sg)}

@@ -209,6 +209,151 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
     return jnp.concatenate([p0[None], ps], axis=0)             # (T, N)
 
 
+def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
+                            times: Array, pvt_fn: Callable[[Array], Array],
+                            relperm, Swmin: float, n_newton: int = 8) -> Array:
+    """Two-phase (gas-condensate) snapshots ``(T, N, 2)`` — (p, Sg) — for one
+    realization.
+
+    NEW capability beyond the reference (which requires an external
+    compositional simulator for GC labels, ref
+    srm_data_processing.py:454-514). Per-cell unknowns are (p, Sg) with
+    So = 1 − Swmin − Sg; surface-mass conservation uses exactly the loss's
+    scheme (ref physics_loss.py:419-427, 563-621 / ``_residuals_gc``):
+
+    * gas mass   φ·(invBg·Sg + Rs·invBo·So), flux  krgo·invBg·invug (free)
+      + krog·Rs·invBo·invuo (dissolved in flowing oil);
+    * oil mass   φ·(invBo·So + Rv·invBg·Sg), flux  krog·invBo·invuo (free)
+      + krgo·Rv·invBg·invug (vaporized in flowing gas);
+    * upstream relperm at faces, arithmetic face averages of the PVT
+      products, harmonic-mean permeability;
+    * Peaceman wells under total-surface-gas-rate control clipped by the
+      min-BHP drawdown bound; the oil rate follows the phase-mobility ratio
+      (the drawdown-consistent split, as the well solver's λ-scaling path).
+
+    Solver: backward-Euler, full Newton on the accumulation terms with
+    Picard-lagged flux transmissibilities; the saturation unknown is
+    eliminated per cell via the diagonal Schur complement (∂R/∂Sg is purely
+    local), so each iteration is ONE dense (N, N) solve — the same
+    MXU-friendly shape as the dry-gas path.
+    """
+    N = kx.shape[0]
+    i1 = jnp.asarray(prob.face_pairs[:, 0])
+    i2 = jnp.asarray(prob.face_pairs[:, 1])
+    kf = jnp.asarray(kscale) * 2.0 * kx[i1] * kx[i2] / (kx[i1] + kx[i2] + 1e-30)
+    G = jnp.asarray(prob.face_geom) * kf
+
+    wc = jnp.asarray(prob.well_cells)
+    q_t = jnp.asarray(prob.q_target)
+    pwf_min = jnp.asarray(prob.pwf_min)
+    ck = jnp.asarray(prob.well_ck_geom) * kx[wc]
+    windows = jnp.asarray(prob.shutin_windows)
+    cf_const = 97.32e-6 / (1.0 + 55.8721 * prob.phi**1.428586)
+    phi0 = prob.phi
+    Sgi = prob.Sgi
+
+    def pvt_props(p):
+        out = pvt_fn(p)                    # [2, 7, N]: values / dP derivatives
+        return out[0], out[1]
+
+    eye = jnp.eye(N, dtype=jnp.float32)
+
+    def assemble(Tf):
+        return (jnp.zeros((N, N), jnp.float32)
+                .at[i1, i1].add(Tf).at[i2, i2].add(Tf)
+                .at[i1, i2].add(-Tf).at[i2, i1].add(-Tf))
+
+    def unit_masses(vals, Sg):
+        invBg, invBo, Rs, Rv = vals[0], vals[1], vals[4], vals[5]
+        So = 1.0 - Swmin - Sg
+        ug = invBg * Sg + Rs * invBo * So
+        uo = invBo * So + Rv * invBg * Sg
+        return ug, uo
+
+    def step(carry, t_pair):
+        p_n, Sg_n = carry
+        t0, t1 = t_pair
+        dt = jnp.maximum(t1 - t0, 1e-6)
+        open_mask = jnp.logical_not(
+            jnp.any((t1 >= windows[:, :, 0]) & (t1 <= windows[:, :, 1]), axis=-1)
+        ).astype(p_n.dtype)
+        c = (prob.dv / prob.D) / dt
+
+        vals_n, _ = pvt_props(p_n)
+        ug_n, uo_n = unit_masses(vals_n, Sg_n)
+
+        def newton(_, state):
+            p, Sg = state
+            vals, der = pvt_props(p)
+            invBg, invBo, invug, invuo, Rs, Rv = (vals[i] for i in range(6))
+            dinvBg, dinvBo, dRs, dRv = der[0], der[1], der[4], der[5]
+            So = 1.0 - Swmin - Sg
+            krog, krgo = relperm(Sg)
+            bgug = invBg * invug
+            bouo = invBo * invuo
+            rsbouo = Rs * bouo
+            rvbgug = Rv * bgug
+
+            # upstream relperm on faces (i1 upstream unless p rises toward i2)
+            up = (p[i2] - p[i1]) > 0
+            krgo_f = jnp.where(up, krgo[i2], krgo[i1])
+            krog_f = jnp.where(up, krog[i2], krog[i1])
+            lam_g = (krgo_f * 0.5 * (bgug[i1] + bgug[i2])
+                     + krog_f * 0.5 * (rsbouo[i1] + rsbouo[i2]))
+            lam_o = (krog_f * 0.5 * (bouo[i1] + bouo[i2])
+                     + krgo_f * 0.5 * (rvbgug[i1] + rvbgug[i2]))
+            Fg = assemble(G * lam_g)
+            Fo = assemble(G * lam_o)
+
+            # wells: surface-gas-rate control, min-BHP drawdown clip; the oil
+            # rate follows the phase mobility ratio at the well cell
+            mg_w = (krgo * bgug + krog * rsbouo)[wc]
+            mo_w = (krog * bouo + krgo * rvbgug)[wc]
+            qg_max = ck * mg_w * jnp.maximum(p[wc] - pwf_min, 0.0)
+            qg_w = open_mask * jnp.where(q_t >= 0.0, jnp.minimum(q_t, qg_max), q_t)
+            qo_w = qg_w * mo_w / (mg_w + 1e-30)
+            qg_cell = jnp.zeros((N,), jnp.float32).at[wc].add(qg_w)
+            qo_cell = jnp.zeros((N,), jnp.float32).at[wc].add(qo_w)
+
+            # accumulations with rock compressibility φ(p) = φ0·(1+cf·(p−p_n))
+            phi_p = phi0 * (1.0 + cf_const * (p - p_n))
+            ug, uo = unit_masses(vals, Sg)
+            Rg = c * (phi_p * ug - phi0 * ug_n) + Fg @ p + qg_cell
+            Ro = c * (phi_p * uo - phi0 * uo_n) + Fo @ p + qo_cell
+
+            dug_dp = dinvBg * Sg + (dRs * invBo + Rs * dinvBo) * So
+            duo_dp = dinvBo * So + (dRv * invBg + Rv * dinvBg) * Sg
+            dug_dS = invBg - Rs * invBo
+            duo_dS = Rv * invBg - invBo                  # < 0 (invBo dominates)
+            dAg_dp = c * (phi0 * cf_const * ug + phi_p * dug_dp)
+            dAo_dp = c * (phi0 * cf_const * uo + phi_p * duo_dp)
+            dAg_dS = c * phi_p * dug_dS
+            dAo_dS = c * phi_p * duo_dS
+
+            # Schur complement: eliminate the (diagonal) δSg block
+            r = dAg_dS / jnp.where(jnp.abs(dAo_dS) > 1e-30, dAo_dS, -1e-30)
+            Jgp = Fg + dAg_dp[:, None] * eye
+            Jop = Fo + dAo_dp[:, None] * eye
+            S = Jgp - r[:, None] * Jop
+            rhs = -Rg + r * Ro
+            dp = jnp.linalg.solve(S, rhs)
+            dSg = (-Ro - Jop @ dp) / jnp.where(
+                jnp.abs(dAo_dS) > 1e-30, dAo_dS, -1e-30)
+            p_new = jnp.clip(p + dp, 14.7, 1e4)
+            Sg_new = jnp.clip(Sg + dSg, 0.0, Sgi)
+            return p_new, Sg_new
+
+        p1, Sg1 = jax.lax.fori_loop(0, n_newton, newton, (p_n, Sg_n))
+        return (p1, Sg1), jnp.stack([p1, Sg1], axis=-1)
+
+    p0 = jnp.full((N,), prob.Pi, jnp.float32)
+    Sg0 = jnp.full((N,), Sgi, jnp.float32)
+    t_pairs = jnp.stack([times[:-1], times[1:]], axis=1)
+    _, snaps = jax.lax.scan(step, (p0, Sg0), t_pairs)
+    first = jnp.stack([p0, Sg0], axis=-1)[None]
+    return jnp.concatenate([first, snaps], axis=0)             # (T, N, 2)
+
+
 def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
                           times: Array, pvt_fn, n_picard: int = 6,
                           chunk: int = 16) -> Array:
@@ -235,3 +380,32 @@ def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
         outs.append(np.asarray(ps[:ps.shape[0] - pad]))
     ps = np.concatenate(outs, axis=0)
     return ps.reshape((K, ps.shape[1]) + prob.shape)
+
+
+def simulate_realizations_gc(prob: FVProblem, kscale: np.ndarray,
+                             kx_fields: Array, times: Array, pvt_fn, relperm,
+                             Swmin: float, n_newton: int = 8,
+                             chunk: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """GC vmap over realizations → (P, Sg), each ``(K, T, Nz, Ny, Nx)``.
+
+    Chunked like :func:`simulate_realizations` (each Newton sweep holds two
+    dense (chunk, N, N) flux matrices plus the Schur system, so the GC
+    default chunk is half the DG one).
+    """
+    K = kx_fields.shape[0]
+    flat = jnp.asarray(kx_fields.reshape(K, -1))
+    sim = jax.jit(jax.vmap(
+        lambda k: simulate_gas_condensate(prob, kscale, k, times, pvt_fn,
+                                          relperm, Swmin, n_newton)))
+    outs = []
+    for s in range(0, K, chunk):
+        block = flat[s:s + chunk]
+        pad = 0
+        if block.shape[0] < chunk and s > 0:
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate([block, block[-1:].repeat(pad, axis=0)])
+        ps = sim(block)                                         # (c, T, N, 2)
+        outs.append(np.asarray(ps[:ps.shape[0] - pad]))
+    ps = np.concatenate(outs, axis=0)
+    grid = ps.reshape((K, ps.shape[1]) + prob.shape + (2,))
+    return grid[..., 0], grid[..., 1]
