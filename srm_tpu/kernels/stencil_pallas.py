@@ -177,8 +177,11 @@ def _shifts3(fp):
 
 
 def _residual_math_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
-                      qwell, t1, t2, cfg: StencilConfig, kv_kh: float):
-    """DG 7-point residual on one sample's padded 3D fields."""
+                      qwell, t1, t2, cfg: StencilConfig):
+    """DG 7-point residual on one sample's padded 3D fields.
+
+    ``kzp`` must arrive PRE-SCALED by the vertical anisotropy (kv/kh) — the
+    kernel applies no further scaling."""
     C, D = cfg.C, cfg.D
     dv = cfg.dx * cfg.dy * cfg.dz
 
@@ -234,15 +237,14 @@ def _residual_math_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
 
 def _kernel_3d(p0p_ref, p1p_ref, kxp_ref, kzp_ref, bgugp_ref, invBg0_ref,
                invBg1_ref, dinvBg0_ref, q_ref, qwell_ref, t_ref,
-               dom_ref, ibc_ref, tde_ref, mbc_ref, *, cfg: StencilConfig,
-               kv_kh: float):
+               dom_ref, ibc_ref, tde_ref, mbc_ref, *, cfg: StencilConfig):
     b = pl.program_id(0)
     t1 = t_ref[b, 0]
     t2 = t_ref[b, 1]
     dom, ibc, tde, mbc_cell = _residual_math_3d(
         p0p_ref[0], p1p_ref[0], kxp_ref[0], kzp_ref[0], bgugp_ref[0],
         invBg0_ref[0], invBg1_ref[0], dinvBg0_ref[0], q_ref[0], qwell_ref[:],
-        t1, t2, cfg, kv_kh)
+        t1, t2, cfg)
     dom_ref[0] = dom
     ibc_ref[0] = ibc
     tde_ref[0] = tde
@@ -250,7 +252,7 @@ def _kernel_3d(p0p_ref, p1p_ref, kxp_ref, kzp_ref, bgugp_ref, invBg0_ref,
 
 
 def _pallas_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
-                       qwell, tsteps, cfg: StencilConfig, kv_kh: float):
+                       qwell, tsteps, cfg: StencilConfig):
     B, Dp, Hp, Wp = p0p.shape
     Dd, H, W = Dp - 2, Hp - 2, Wp - 2
     padded = pl.BlockSpec((1, Dp, Hp, Wp), lambda b: (b, 0, 0, 0),
@@ -261,7 +263,7 @@ def _pallas_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
     scal = pl.BlockSpec((B, 2), lambda b: (0, 0), memory_space=pltpu.SMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel_3d, cfg=cfg, kv_kh=kv_kh),
+        functools.partial(_kernel_3d, cfg=cfg),
         grid=(B,),
         interpret=jax.default_backend() == "cpu",
         in_specs=[padded, padded, padded, padded, padded, center, center,
@@ -280,35 +282,36 @@ def _pallas_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
 
 
 def _jnp_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q,
-                    qwell, tsteps, cfg: StencilConfig, kv_kh: float):
+                    qwell, tsteps, cfg: StencilConfig):
     def per_sample(a, b_, c, d, e, f, g, h, i, t):
         return _residual_math_3d(a, b_, c, d, e, f, g, h, i, qwell,
-                                 t[0], t[1], cfg, kv_kh)
+                                 t[0], t[1], cfg)
 
     dom, ibc, tde, mbc_cell = jax.vmap(per_sample)(
         p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q, tsteps)
     return dom, ibc, tde, -jnp.sum(mbc_cell, axis=(1, 2, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
 def dg3d_stencil_residual(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0,
-                          q, qwell, tsteps, cfg: StencilConfig, kv_kh: float):
+                          q, qwell, tsteps, cfg: StencilConfig):
     """Fused 3D DG residual: (dom, ibc, tde, mbc) from padded (B, D+2, H+2,
-    W+2) / centered (B, D, H, W) fields."""
+    W+2) / centered (B, D, H, W) fields. ``kzp`` arrives pre-scaled by the
+    vertical anisotropy (kv/kh); the kernel applies no further scaling."""
     return _pallas_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1,
-                              dinvBg0, q, qwell, tsteps, cfg, kv_kh)
+                              dinvBg0, q, qwell, tsteps, cfg)
 
 
 def _fwd_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q, qwell,
-            tsteps, cfg, kv_kh):
+            tsteps, cfg):
     out = _pallas_forward_3d(p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1,
-                             dinvBg0, q, qwell, tsteps, cfg, kv_kh)
+                             dinvBg0, q, qwell, tsteps, cfg)
     return out, (p0p, p1p, kxp, kzp, bgugp, invBg0, invBg1, dinvBg0, q, qwell,
                  tsteps)
 
 
-def _bwd_3d(cfg, kv_kh, residuals, cotangents):
-    _, vjp = jax.vjp(lambda *a: _jnp_forward_3d(*a, cfg, kv_kh), *residuals)
+def _bwd_3d(cfg, residuals, cotangents):
+    _, vjp = jax.vjp(lambda *a: _jnp_forward_3d(*a, cfg), *residuals)
     return vjp(cotangents)
 
 

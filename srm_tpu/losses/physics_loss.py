@@ -566,7 +566,7 @@ class PhysicsLoss:
             dom, ibc, trn_err, mbc = dg3d_stencil_residual(
                 volp(p0), volp(p1), volp(kx_c), volp(self.kv_kh * kx_c),
                 volp(invBg1 * invug1), vol(invBg0), vol(invBg1), vol(dinvBg0),
-                vol(q1c), jnp.asarray(self.q_well_idx), tsteps, cfg3, self.kv_kh)
+                vol(q1c), jnp.asarray(self.q_well_idx), tsteps, cfg3)
             reshape_back = lambda f: f.reshape(p0.shape)         # noqa: E731
             dom, ibc, trn_err = map(reshape_back, (dom, ibc, trn_err))
             zeros = jnp.zeros_like(dom)

@@ -18,6 +18,7 @@ trainer written against them runs unchanged on either mesh shape.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import jax
@@ -26,6 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SPATIAL_AXIS = 2   # H in the (B, D, H, W[, C]) sample layout
 
+log = logging.getLogger(__name__)
+
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
               spatial: int = 1) -> Mesh:
@@ -33,7 +36,8 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
     devices = jax.devices()
     n = n_devices or len(devices)
     if spatial > 1:
-        assert n % spatial == 0, f"{n} devices not divisible by spatial={spatial}"
+        if n % spatial != 0:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
         arr = np.array(devices[:n]).reshape(n // spatial, spatial)
         return Mesh(arr, (axis_name, "space"))
     return Mesh(np.array(devices[:n]), (axis_name,))
@@ -83,6 +87,12 @@ def shard_batch(x, mesh: Mesh, axis_name: str = "data", batch_axis: int = 0):
         spec = _spec_for_rank(mesh, rank, axis_name, batch_axis)
         ok = all(p is None or a.shape[i] % sizes[p] == 0
                  for i, p in enumerate(spec))
+        if not ok:
+            log.warning(
+                "shard_batch: array shape %s not divisible by mesh axes %s — "
+                "REPLICATING (each of the %d devices computes the full batch; "
+                "make the batch a multiple of the data-axis size)",
+                tuple(a.shape), sizes, mesh.size)
         return jax.device_put(a, NamedSharding(mesh, spec) if ok else rep)
 
     return jax.tree_util.tree_map(put, x)

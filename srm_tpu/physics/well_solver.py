@@ -174,6 +174,17 @@ class WellRatesPressure:
         self.tol = tol
         self.compute_mo = compute_mo
         self.use_non_iterative = use_non_iterative
+        if log_iterations:
+            # in-jit logging rides jax.debug.callback, which some PJRT
+            # plugins (e.g. the axon TPU tunnel) do not implement — enabling
+            # it there would abort inside jit with UNIMPLEMENTED
+            import jax as _jax
+            backend = _jax.default_backend()
+            if backend not in ("cpu", "tpu", "gpu"):
+                log.warning(
+                    "log_iterations disabled: backend %r does not support "
+                    "host callbacks (jax.debug.callback)", backend)
+                log_iterations = False
         self.log_iterations = log_iterations
         self.log_dir = log_dir
 

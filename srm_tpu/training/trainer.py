@@ -265,6 +265,11 @@ def train_combined_models_unified(
     training_batch_size = training_batch_size or g["training_batch_size"]
     testing_batch_size = testing_batch_size or g["testing_batch_size"]
 
+    # fail fast on a mislabeled dict before tracing the jitted loss
+    # (ref training.py:367-409 validates inside training)
+    if train_groups:
+        validate_loss_keys(train_groups[0][1], loss_fn.loss_keys, g)
+
     trainer = Trainer(loss_fn, params, mesh=mesh)
     # one-time dataset upload: everything stays HBM-resident; epochs shuffle
     # and batch on device
@@ -390,6 +395,11 @@ def train_combined_models_unified(
             trainer.params[loss_fn.logical_name(key)] = jax.device_put(vars_)
         log.info("Restored variables from epoch %d (normalized loss %.4f)",
                  model_variables_history[best]["epoch"], normalized[best])
+        if ckpt is not None:
+            # persist the restored best-epoch weights: without this, a crash
+            # after training loses the min–max selection (the last periodic
+            # save predates the restore)
+            ckpt.save(epochs, trainer.params, trainer.opt_state, history=history)
 
     if verbose:
         print(f"Total training time: {time.time() - t_total:.2f}s")
