@@ -1,4 +1,4 @@
-"""Benchmark: full-fidelity dry-gas train step throughput + MFU.
+"""Benchmark: full-fidelity train step throughput + MFU (DG and GC).
 
 Cases (all: full PhysicsLoss with two model forwards, spline PVT, well
 solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
@@ -11,6 +11,10 @@ solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
 * ``dg2d_large``   — 117×117, batch 128 (compute-bound regime; batch 256
   exceeds one v5e chip's 16G HBM — the loss graph holds two time-level
   forward activations for the backward pass)
+* ``gc2d``         — gas-condensate at reference scale (two-phase 4-flux
+  upstream residual, the reference's DEFAULT fluid)
+* ``gc3d``         — 39×39×10 volumetric GC (beyond-reference)
+* ``gc2d_bf16``    — gc2d with bfloat16 network compute
 
 Each case reports steps/s and model FLOPs utilization (MFU) estimated from
 XLA's own ``cost_analysis`` of the compiled epoch program against the chip's
@@ -59,22 +63,22 @@ def _mfu(flops_per_step: float, steps_per_sec: float) -> float:
 
 def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
                  kle_method=None, pallas=None, general_config=None,
-                 reps: int = 3) -> dict:
+                 fluid: str = "DG", reps: int = 3) -> dict:
     """Times the epoch-scanned train path: all batches of an epoch run in ONE
     device dispatch (lax.scan), so the measurement reflects device throughput
     rather than per-launch host round-trips."""
     import jax
     import numpy as np
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+    from srm_tpu.examples.common import setup_case
     from srm_tpu.training.trainer import Trainer
 
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(HERE, "_srm_data"))
-    case = setup_dry_gas_case(base_dir=base, nx=nx, nz=nz,
-                              n_realizations=realizations,
-                              kle_method=kle_method,
-                              general_config=general_config,
-                              use_pallas_stencil=pallas)
+    case = setup_case(fluid, base_dir=base, nx=nx, nz=nz,
+                      n_realizations=realizations,
+                      kle_method=kle_method,
+                      general_config=general_config,
+                      use_pallas_stencil=pallas)
     trainer = Trainer(case["loss_fn"], case["params"])
     nb, n_samples = trainer.stage_dataset("train", case["train_groups"], batch)
     key = jax.random.PRNGKey(0)
@@ -254,6 +258,27 @@ def main():
                                            kle_method="uncorrelated")
     except Exception as e:
         cases["dg2d_large"] = {"error": str(e)[:200]}
+    # gas-condensate (two-phase) cases: regression-track the 4-flux upstream
+    # loss path (VERDICT r2 item 4 — the driver artifact was DG-only)
+    try:
+        cases["gc2d"] = measure_case("gc2d", fluid="GC")
+    except Exception as e:
+        cases["gc2d"] = {"error": str(e)[:200]}
+    try:
+        cases["gc3d"] = measure_case("gc3d", fluid="GC", nx=39, nz=10,
+                                     batch=32, realizations=50,
+                                     kle_method="uncorrelated")
+    except Exception as e:
+        cases["gc3d"] = {"error": str(e)[:200]}
+    try:
+        import copy as _copy
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+        gb["compute_dtype"] = "bfloat16"
+        cases["gc2d_bf16"] = measure_case("gc2d_bf16", fluid="GC",
+                                          general_config=gb)
+    except Exception as e:
+        cases["gc2d_bf16"] = {"error": str(e)[:200]}
 
     headline = cases["dg2d"]["steps_per_sec"]
     base_tf = tf_baseline()

@@ -38,6 +38,13 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
     "load_compressed": False,
     "seed": 2000,
     "dtype": "float32",
+    # Network compute precision: set "compute_dtype": "bfloat16" for MXU-rate
+    # compute (params stay f32). "precision_policy": "mixed" additionally
+    # keeps the input conv and the output head of each encoder-decoder in
+    # f32 — they carry the field's absolute psia scale, where bf16's 8-bit
+    # mantissa costs converged accuracy (tools/rmse_experiment.py --bf16).
+    "compute_dtype": None,
+    "precision_policy": None,
     "training_batch_size": 32,
     "testing_batch_size": 64,
     "unit_target_shape": (1, 1, 39, 39, 1),

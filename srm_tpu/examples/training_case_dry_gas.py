@@ -13,19 +13,14 @@ Run directly::
 from __future__ import annotations
 
 import argparse
-import copy
 import logging
 from typing import Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 from srm_tpu.config import DEFAULT_GENERAL_CONFIG, get_optimizer_model_mapping
-from srm_tpu.data.dataset import SRMDataProcessor
 from srm_tpu.losses.physics_loss import PhysicsLoss
-from srm_tpu.nn.modules import build_model_map
 from srm_tpu.training.trainer import Trainer, train_combined_models_unified
-from srm_tpu.utils.stats import DataSummary
 
 log = logging.getLogger(__name__)
 
@@ -36,62 +31,13 @@ def setup_dry_gas_case(base_dir: Optional[str] = None, nx: Optional[int] = None,
                        seed: Optional[int] = None, nz: Optional[int] = None,
                        kle_method: Optional[str] = None,
                        use_pallas_stencil: Optional[bool] = None):
-    """Build everything for the dry-gas case; returns a dict bundle.
-
-    ``nx``/``nz``/``n_realizations`` resize the problem for tests, smoke runs
-    and benchmarks; ``kle_method='uncorrelated'`` replaces the dense-KLE
-    sampler with iid log-normal fields (needed above ~2k grid cells).
-    """
-    g = copy.deepcopy(general_config or DEFAULT_GENERAL_CONFIG)
-    g["fluid_type"] = "DG"
-    if seed is not None:
-        g["seed"] = seed
-    processor = SRMDataProcessor(base_dir=base_dir, general_config=g)
-    if nx is not None or nz is not None:
-        # resize the grid: rescale well positions and the unit target shape
-        nx = nx or processor.reservoir_config["Nx"]
-        nz = nz or processor.reservoir_config["Nz"]
-        scale = nx / processor.reservoir_config["Nx"]
-        processor.reservoir_config["Nx"] = processor.reservoir_config["Ny"] = nx
-        processor.reservoir_config["Nz"] = nz
-        g["unit_target_shape"] = (1, nz, nx, nx, 1) if nz > 1 else (1, 1, nx, nx, 1)
-        for conn in processor.wells_config["connections"]:
-            conn["i"] = min(int(conn["i"] * scale), nx - 1)
-            conn["j"] = min(int(conn["j"] * scale), nx - 1)
-            conn["k"] = min(conn.get("k", 0), nz - 1)
-        cond = {(min(5, nx - 1), min(5, nx - 1), 0): 2.0}
-        processor.reservoir_config["realizations"]["permx"]["conditional_values"] = cond
-        processor.general_config = g
-    if n_realizations is not None:
-        processor.reservoir_config["realizations"]["permx"]["number"] = n_realizations
-    if kle_method is not None:
-        processor.reservoir_config["realizations"]["permx"]["method"] = kle_method
-
-    path, train_groups, val_groups, test_groups, pred_groups = \
-        processor.get_or_generate_training_data()
-    statistics = processor.load_training_statistics()
-    data_summary = DataSummary([statistics])
-
-    models, params = build_model_map(
-        train_groups[0][0].shape, fluid_type="DG",
-        rng=jax.random.PRNGKey(g["seed"]), general_config=g,
-        reservoir_config=processor.reservoir_config,
-        wells_config=processor.wells_config, data_summary=data_summary)
-
-    loss_fn = PhysicsLoss(models, data_summary,
-                          optimizer_model_names_map=get_optimizer_model_mapping("DG"),
-                          general_config=g,
-                          reservoir_config=processor.reservoir_config,
-                          wells_config=processor.wells_config, fluid_type="DG",
-                          use_pallas_stencil=use_pallas_stencil)
-    return {
-        "processor": processor, "data_path": path,
-        "train_groups": train_groups, "val_groups": val_groups,
-        "test_groups": test_groups, "pred_groups": pred_groups,
-        "statistics": statistics, "data_summary": data_summary,
-        "models": models, "params": params, "loss_fn": loss_fn,
-        "general_config": g,
-    }
+    """Dry-gas case bundle (see :func:`srm_tpu.examples.common.setup_case`)."""
+    from srm_tpu.examples.common import setup_case
+    return setup_case("DG", base_dir=base_dir, nx=nx,
+                      n_realizations=n_realizations,
+                      general_config=general_config, seed=seed, nz=nz,
+                      kle_method=kle_method,
+                      use_pallas_stencil=use_pallas_stencil)
 
 
 def main(argv=None):

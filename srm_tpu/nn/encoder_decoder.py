@@ -76,6 +76,10 @@ class EncoderDecoderModel(nn.Module):
     extra_dec_conv_layers: int = 2
     compute_dtype: Optional[str] = None   # e.g. 'bfloat16' for MXU-friendly
                                           # compute; params stay float32
+    f32_io: bool = False                  # mixed policy: keep the first conv
+                                          # (5-channel input) and the final
+                                          # dense/1x1 output chain in float32
+                                          # while the bulk runs compute_dtype
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "EncoderDecoderModel":
@@ -104,6 +108,7 @@ class EncoderDecoderModel(nn.Module):
             extra_conv_layers=(rp.get("Extra_Conv_Layers", {}) or {}).get("Count", 0),
             extra_dec_conv_layers=(rp.get("Extra_Dec_Conv_Layers", {}) or {}).get("Count", 0),
             compute_dtype=config.get("compute_dtype"),
+            f32_io=bool(config.get("f32_io", False)),
         )
 
     def _filters(self) -> list[int]:
@@ -122,6 +127,11 @@ class EncoderDecoderModel(nn.Module):
         k = self.kernel_size
         nd = self.spatial_dims
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        # mixed-precision islands: the input conv and the output head carry
+        # the field's absolute scale (thousands of psia) — bf16's 8-bit
+        # mantissa costs ~3.8 psia converged RMSE there, while the interior
+        # layers tolerate it (measured in tools/rmse_experiment.py --bf16)
+        cdt_io = None if self.f32_io else cdt
 
         x, unfold = fold_time(inputs, self.temporal)
         in_channels = x.shape[-1]
@@ -131,7 +141,7 @@ class EncoderDecoderModel(nn.Module):
         skips: Dict[int, Array] = {}
         for i in range(self.depth):
             if i == 0:
-                x = nn.Conv(dtype=cdt, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="VALID",
+                x = nn.Conv(dtype=cdt_io, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="VALID",
                             kernel_init=init, name=f"enc_conv_{i+1}")(x)
             else:
                 pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
@@ -223,13 +233,13 @@ class EncoderDecoderModel(nn.Module):
                         kernel_init=init, name=f"dec_extra_conv_{j+1}")(x)
             x = act(x)
 
-        x = act(nn.Dense(dtype=cdt, features=int(filters[0] * self.decoder_filter_fac), kernel_init=init,
+        x = act(nn.Dense(dtype=cdt_io, features=int(filters[0] * self.decoder_filter_fac), kernel_init=init,
                          name="dec_final_dense")(x))
-        x = nn.Conv(dtype=cdt, features=in_channels, kernel_size=(1,) * nd, padding="SAME", kernel_init=init,
+        x = nn.Conv(dtype=cdt_io, features=in_channels, kernel_size=(1,) * nd, padding="SAME", kernel_init=init,
                     name="dec_final_conv")(x)
         x = get_activation(self.out_activation)(x)
         if x.shape[-1] != self.output_filters:
-            x = nn.Conv(dtype=cdt, features=self.output_filters, kernel_size=(1,) * nd, padding="SAME",
+            x = nn.Conv(dtype=cdt_io, features=self.output_filters, kernel_size=(1,) * nd, padding="SAME",
                         kernel_init=init, name="output_proj")(x)
         if cdt is not None:
             x = x.astype(jnp.float32)

@@ -111,6 +111,7 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     ed["residual_params"]["Out_Activation_Func"] = None
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")   # optional bf16 network compute
+    ed["f32_io"] = g.get("precision_policy") == "mixed"
 
     hard = get_configuration("hard_layer")
     hard["init_value"] = res["initialization"]["Pi"]
@@ -155,6 +156,7 @@ def build_saturation_model(name: str = "saturation_model",
     ed["residual_params"]["Out_Activation_Func"] = None
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")
+    ed["f32_io"] = g.get("precision_policy") == "mixed"
 
     hard = get_configuration("hard_layer")
     hard["init_value"] = 1.0 - scal["end_points"]["Swmin"]

@@ -127,3 +127,37 @@ def test_blocking_factor_integral_path():
     x = jnp.zeros((1, 1, 39, 39, 5))
     q, pwf_out = ws.compute_rates_and_bhp(x, p, None)
     assert np.isfinite(np.asarray(q)).all()
+
+
+def test_mixed_precision_policy_f32_islands():
+    """compute_dtype=bfloat16 runs the conv bulk at MXU rate; with
+    precision_policy='mixed' the input conv and output head stay f32.
+    The mixed output must track the full-f32 reference strictly better than
+    the all-bf16 network (the policy's reason to exist)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srm_tpu.config import get_configuration
+    from srm_tpu.nn.encoder_decoder import EncoderDecoderModel
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 39, 39, 5),
+                           jnp.float32, -1.0, 1.0)
+
+    outs = {}
+    for tag, (cdt, f32_io) in {"f32": (None, False),
+                               "bf16": ("bfloat16", False),
+                               "mixed": ("bfloat16", True)}.items():
+        cfg = get_configuration("encoder_decoder")
+        cfg["compute_dtype"] = cdt
+        cfg["f32_io"] = f32_io
+        model = EncoderDecoderModel.from_config(cfg)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+        outs[tag] = np.asarray(out, np.float64)
+
+    err_bf16 = np.abs(outs["bf16"] - outs["f32"]).mean()
+    err_mixed = np.abs(outs["mixed"] - outs["f32"]).mean()
+    assert err_bf16 > 0, "bf16 output should differ from f32"
+    assert err_mixed < err_bf16, (err_mixed, err_bf16)
