@@ -112,6 +112,8 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")   # optional bf16 network compute
     ed["f32_io"] = g.get("precision_policy") == "mixed"
+    if g.get("network_width"):               # "TPU-mode" widened channels
+        ed["width"]["Bottom_Size"] = int(g["network_width"])
 
     hard = get_configuration("hard_layer")
     hard["init_value"] = res["initialization"]["Pi"]
@@ -157,6 +159,8 @@ def build_saturation_model(name: str = "saturation_model",
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")
     ed["f32_io"] = g.get("precision_policy") == "mixed"
+    if g.get("network_width"):
+        ed["width"]["Bottom_Size"] = int(g["network_width"])
 
     hard = get_configuration("hard_layer")
     hard["init_value"] = 1.0 - scal["end_points"]["Swmin"]
