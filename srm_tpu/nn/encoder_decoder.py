@@ -80,6 +80,11 @@ class EncoderDecoderModel(nn.Module):
                                           # (5-channel input) and the final
                                           # dense/1x1 output chain in float32
                                           # while the bulk runs compute_dtype
+    spatial_pad_to: Optional[int] = None  # pad H/W up to this size at entry
+                                          # and crop back at the output: 39 is
+                                          # the worst possible TPU tile count,
+                                          # padding to 48 measured 2.7x faster
+                                          # f32 conv wall-clock (tools/mfu_probe)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "EncoderDecoderModel":
@@ -109,6 +114,7 @@ class EncoderDecoderModel(nn.Module):
             extra_dec_conv_layers=(rp.get("Extra_Dec_Conv_Layers", {}) or {}).get("Count", 0),
             compute_dtype=config.get("compute_dtype"),
             f32_io=bool(config.get("f32_io", False)),
+            spatial_pad_to=config.get("spatial_pad_to"),
         )
 
     def _filters(self) -> list[int]:
@@ -135,6 +141,20 @@ class EncoderDecoderModel(nn.Module):
 
         x, unfold = fold_time(inputs, self.temporal)
         in_channels = x.shape[-1]
+        true_spatial = x.shape[1:-1]
+        # TPU tile alignment: zero-pad H/W up to spatial_pad_to before the
+        # first conv; the output is cropped back after the decoder. (Depth is
+        # left alone — it folds into sublane-friendly tiles already.)
+        pad_hw = None
+        if self.spatial_pad_to:
+            h_axis = 1 + (nd - 2)               # (B, H, W, C) or (B, D, H, W, C)
+            pad_hw = [max(self.spatial_pad_to - x.shape[h_axis + j], 0)
+                      for j in range(2)]
+            if any(pad_hw):
+                pads = [(0, 0)] * x.ndim
+                pads[h_axis] = (0, pad_hw[0])
+                pads[h_axis + 1] = (0, pad_hw[1])
+                x = jnp.pad(x, pads)
         target_spatial = x.shape[1:-1]
 
         # ---------------- encoder (ref EncoderLayer.build/call :104-285) -----
@@ -232,6 +252,15 @@ class EncoderDecoderModel(nn.Module):
             x = nn.Conv(dtype=cdt, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="SAME",
                         kernel_init=init, name=f"dec_extra_conv_{j+1}")(x)
             x = act(x)
+
+        if pad_hw is not None and any(pad_hw):
+            # crop the alignment padding before the (full-resolution) output
+            # head — the physics stencil sees the true grid only
+            h_axis = 1 + (nd - 2)
+            sl = [slice(None)] * x.ndim
+            sl[h_axis] = slice(0, true_spatial[h_axis - 1])
+            sl[h_axis + 1] = slice(0, true_spatial[h_axis])
+            x = x[tuple(sl)]
 
         x = act(nn.Dense(dtype=cdt_io, features=int(filters[0] * self.decoder_filter_fac), kernel_init=init,
                          name="dec_final_dense")(x))

@@ -112,6 +112,7 @@ def build_pressure_model(name: str = "encoder_decoder_with_hard",
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")   # optional bf16 network compute
     ed["f32_io"] = g.get("precision_policy") == "mixed"
+    ed["spatial_pad_to"] = g.get("spatial_pad_to")
     if g.get("network_width"):               # "TPU-mode" widened channels
         ed["width"]["Bottom_Size"] = int(g["network_width"])
 
@@ -159,6 +160,7 @@ def build_saturation_model(name: str = "saturation_model",
     ed["residual_params"]["Skip_Connections"] = {"Add": False, "Layers": [1, 1, 1, 1]}
     ed["compute_dtype"] = g.get("compute_dtype")
     ed["f32_io"] = g.get("precision_policy") == "mixed"
+    ed["spatial_pad_to"] = g.get("spatial_pad_to")
     if g.get("network_width"):
         ed["width"]["Bottom_Size"] = int(g["network_width"])
 
@@ -196,6 +198,7 @@ def build_time_step_model(name: str = "residual_network_only",
     max_lim = g["maximum_srm_timestep"]
     cfg["output_activation"] = partial(scaled_tanh_lisht, min_val=0.1, max_val=max_lim)
     cfg["compute_dtype"] = g.get("compute_dtype")
+    cfg["spatial_pad_to"] = g.get("spatial_pad_to")
     return CompleteTrainableModule(
         network=ResidualNetworkLayer.from_config(cfg),
         hard_layer=None,

@@ -97,6 +97,11 @@ class ResidualNetworkLayer(nn.Module):
     number_of_output_bins: int = 50
     include_output_layer: bool = True
     compute_dtype: str | None = None
+    spatial_pad_to: Optional[int] = None   # pad H/W to a TPU-tile-friendly
+                                           # size at entry, crop at the head
+                                           # (the blocks run every layer at
+                                           # full resolution — alignment is
+                                           # worth ~2x wall on 39-wide grids)
 
     @classmethod
     def from_config(cls, config: Dict[str, Any]) -> "ResidualNetworkLayer":
@@ -117,12 +122,24 @@ class ResidualNetworkLayer(nn.Module):
             output_distribution=config.get("output_distribution", False),
             number_of_output_bins=config.get("number_of_output_bins", 50),
             compute_dtype=config.get("compute_dtype"),
+            spatial_pad_to=config.get("spatial_pad_to"),
         )
 
     @nn.compact
     def __call__(self, inputs: Array, training: bool = False) -> Array:
         init = get_initializer(self.kernel_init_name)
         x, unfold = fold_time(inputs, self.temporal)
+        nt = self.network_type.lower()
+        pad_hw = None
+        if self.spatial_pad_to and nt in ("cnn", "cnn3d"):
+            h_axis = x.ndim - 3          # (..., H, W, C)
+            true_hw = (x.shape[h_axis], x.shape[h_axis + 1])
+            pad_hw = [max(self.spatial_pad_to - s, 0) for s in true_hw]
+            if any(pad_hw):
+                pads = [(0, 0)] * x.ndim
+                pads[h_axis] = (0, pad_hw[0])
+                pads[h_axis + 1] = (0, pad_hw[1])
+                x = jnp.pad(x, pads)
         for i in range(self.num_blocks):
             x = ResidualBlock(filters=self.filters, kernel_size=self.kernel_size,
                               activation=self.activation, use_batch_norm=self.use_batch_norm,
@@ -131,6 +148,13 @@ class ResidualNetworkLayer(nn.Module):
                               kernel_init_name=self.kernel_init_name,
                               compute_dtype=self.compute_dtype,
                               name=f"res_block_{i+1}")(x, training=training)
+
+        if pad_hw is not None and any(pad_hw):
+            h_axis = x.ndim - 3
+            sl = [slice(None)] * x.ndim
+            sl[h_axis] = slice(0, true_hw[0])
+            sl[h_axis + 1] = slice(0, true_hw[1])
+            x = x[tuple(sl)]
 
         if not self.include_output_layer:
             return unfold(x)

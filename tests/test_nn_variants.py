@@ -161,3 +161,43 @@ def test_mixed_precision_policy_f32_islands():
     err_mixed = np.abs(outs["mixed"] - outs["f32"]).mean()
     assert err_bf16 > 0, "bf16 output should differ from f32"
     assert err_mixed < err_bf16, (err_mixed, err_bf16)
+
+
+def test_spatial_pad_to_preserves_shapes():
+    """spatial_pad_to zero-pads H/W to a TPU-tile-friendly size inside the
+    network and crops at the output: shapes must be unchanged and gradients
+    finite, in 2D and 3D, for both network families."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from srm_tpu.config import get_configuration
+    from srm_tpu.nn.encoder_decoder import EncoderDecoderModel
+    from srm_tpu.nn.residual import ResidualNetworkLayer
+
+    for nd, shape in ((2, (2, 39, 39, 5)), (3, (2, 10, 39, 39, 5))):
+        cfg = get_configuration("encoder_decoder",
+                                input_shape=(1, 10, 39, 39, 1) if nd == 3 else None)
+        cfg["spatial_dims"] = nd
+        cfg["temporal"] = False
+        cfg["spatial_pad_to"] = 48
+        model = EncoderDecoderModel.from_config(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), shape, jnp.float32, -1, 1)
+        params = model.init(jax.random.PRNGKey(1), x)
+        y, grads = jax.value_and_grad(
+            lambda p: jnp.sum(jnp.square(model.apply(p, x))))(params)
+        assert model.apply(params, x).shape == shape[:-1] + (1,)
+        assert np.isfinite(float(y))
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads))
+
+    cfg = get_configuration("residual")
+    cfg["network_type"] = "cnn"
+    cfg["temporal"] = False
+    cfg["output_distribution"] = False
+    cfg["spatial_pad_to"] = 48
+    m = ResidualNetworkLayer.from_config(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 39, 39, 5), jnp.float32, -1, 1)
+    p = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(p, x)
+    assert out.shape == (2, 39, 39, 1)
+    assert np.isfinite(np.asarray(out)).all()
