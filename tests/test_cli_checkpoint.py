@@ -15,11 +15,10 @@ def test_cli_generate_data(tmp_path):
     assert roots and roots[0].startswith("KLE_39x39x1_R4")
 
 
-def test_trainer_checkpoint_and_resume(tmp_path):
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+def test_trainer_checkpoint_and_resume(tmp_path, dg9_case):
     from srm_tpu.training.trainer import train_combined_models_unified
 
-    case = setup_dry_gas_case(base_dir=str(tmp_path / "data"), nx=9, n_realizations=6)
+    case = dg9_case
     ckpt_dir = str(tmp_path / "ckpt")
     params1, hist1, _ = train_combined_models_unified(
         case["train_groups"], case["val_groups"], models=case["models"],

@@ -58,10 +58,8 @@ def test_five_point_divergence_linear_pressure_interior():
 # PhysicsLoss end-to-end (small dry-gas case; session-scoped for speed)
 # --------------------------------------------------------------------------
 @pytest.fixture(scope="module")
-def dg_case(tmp_path_factory):
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
-    base = str(tmp_path_factory.mktemp("srm"))
-    return setup_dry_gas_case(base_dir=base, nx=13, n_realizations=8)
+def dg_case(dg13_case):
+    return dg13_case
 
 
 @pytest.fixture(scope="module")

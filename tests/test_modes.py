@@ -10,10 +10,8 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def small_case(tmp_path_factory):
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
-    return setup_dry_gas_case(base_dir=str(tmp_path_factory.mktemp("modes")),
-                              nx=13, n_realizations=8)
+def small_case(dg13_case):
+    return dg13_case
 
 
 def test_pallas_loss_matches_jnp_loss(small_case):

@@ -6,14 +6,13 @@ import numpy as np
 import pytest
 
 
-def test_training_is_deterministic(tmp_path):
+def test_training_is_deterministic(dg9_case):
     """Same seed → identical loss trajectory (dataset RNG, init RNG and
     device-side shuffling are all keyed)."""
     import jax
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     from srm_tpu.training.trainer import Trainer
 
-    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=9, n_realizations=6)
+    case = dg9_case
 
     def run():
         tr = Trainer(case["loss_fn"],
@@ -28,11 +27,10 @@ def test_training_is_deterministic(tmp_path):
 
 
 @pytest.mark.parametrize("epochs", [3])
-def test_unified_training_end_to_end(tmp_path, epochs):
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
+def test_unified_training_end_to_end(tmp_path, epochs, dg13_case):
     from srm_tpu.training.trainer import train_combined_models_unified
 
-    case = setup_dry_gas_case(base_dir=str(tmp_path), nx=13, n_realizations=8)
+    case = dg13_case
     snaps = []
 
     ckpt_dir = str(tmp_path / "ckpt")

@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--fluid", default="DG")
     ap.add_argument("--pallas", type=int, default=None)
+    ap.add_argument("--pad", type=int, default=None,
+                    help="spatial_pad_to override")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--precision", default=None)
     args = ap.parse_args()
 
     import jax
@@ -58,9 +62,21 @@ def main():
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))), "_srm_data"))
+    gcfg = None
+    if args.pad or args.bf16 or args.precision:
+        import copy
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+        gcfg = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+        if args.pad:
+            gcfg["spatial_pad_to"] = args.pad
+        if args.bf16:
+            gcfg["compute_dtype"] = "bfloat16"
+        if args.precision:
+            gcfg["precision_policy"] = args.precision
     case = setup_case(args.fluid, base_dir=base, nx=args.nx,
                       nz=None if args.nz <= 1 else args.nz,
                       n_realizations=50, kle_method="uncorrelated",
+                      general_config=gcfg,
                       use_pallas_stencil=(None if args.pallas is None
                                           else bool(args.pallas)))
     loss_fn = case["loss_fn"]
@@ -72,7 +88,7 @@ def main():
 
     out = {"fluid": args.fluid, "grid": f"{args.nx}x{args.nx}x{args.nz}",
            "batch": args.batch, "pallas": loss_fn.use_pallas_stencil,
-           "ms": {}}
+           "pad": args.pad, "bf16": args.bf16, "ms": {}}
 
     m = loss_fn.models
     x2 = jnp.concatenate([xb, xb], axis=0)
