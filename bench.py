@@ -258,28 +258,6 @@ def main():
                                            kle_method="uncorrelated")
     except Exception as e:
         cases["dg2d_large"] = {"error": str(e)[:200]}
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gp = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gp["spatial_pad_to"] = 48
-        gp["compute_dtype"] = "bfloat16"
-        cases["dg3d_pad48_bf16"] = measure_case(
-            "dg3d_pad48_bf16", nx=39, nz=10, batch=32, realizations=50,
-            kle_method="uncorrelated", general_config=gp)
-    except Exception as e:
-        cases["dg3d_pad48_bf16"] = {"error": str(e)[:200]}
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gp = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gp["spatial_pad_to"] = 128
-        gp["compute_dtype"] = "bfloat16"
-        cases["dg2d_large_pad128_bf16"] = measure_case(
-            "dg2d_large_pad128_bf16", nx=117, batch=128, realizations=50,
-            kle_method="uncorrelated", general_config=gp)
-    except Exception as e:
-        cases["dg2d_large_pad128_bf16"] = {"error": str(e)[:200]}
     # gas-condensate (two-phase) cases: regression-track the 4-flux upstream
     # loss path (VERDICT r2 item 4 — the driver artifact was DG-only)
     try:

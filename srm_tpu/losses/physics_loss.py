@@ -282,6 +282,7 @@ class PhysicsLoss:
         self.fluid_type = (fluid_type or self.general_config["fluid_type"]).upper()
         self.physics_mode_fraction = float(self.general_config["physics_mode_fraction"])
         self.remat_forwards = bool(self.general_config.get("remat_forwards", False))
+        self.dt_input_stride = int(self.general_config.get("dt_input_stride", 1) or 1)
         self.optimizer_model_names_map = (optimizer_model_names_map
                                           or get_optimizer_model_mapping(self.fluid_type))
 
@@ -366,6 +367,15 @@ class PhysicsLoss:
         (117×117 at batch 256 exceeds one v5e chip's 15.75 GiB without it).
         """
         mod = self.models[name]
+        if name == "time_step" and self.dt_input_stride > 1:
+            # TPU-mode lever: the Δt field is consumed ONLY through its
+            # per-sample spatial mean (ref physics_loss.py:102,122), so the
+            # residual net may run on a spatially strided grid — ~1/s² of its
+            # cost at dg3d's scale, where it is the single most expensive
+            # forward (tools/step_profile.py). Validate at matched RMSE with
+            # tools/rmse_experiment.py --dt-stride before flipping defaults.
+            s = self.dt_input_stride
+            x = x[..., ::s, ::s, :]
         f = lambda p, x_: mod.apply(p, x_, training=training)  # noqa: E731
         if self.remat_forwards:
             f = jax.checkpoint(f)

@@ -50,6 +50,8 @@ def main():
                     help="spatial_pad_to override")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--precision", default=None)
+    ap.add_argument("--dt-stride", type=int, default=None, dest="dt_stride")
+    ap.add_argument("--width", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -63,7 +65,7 @@ def main():
                           os.path.join(os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))), "_srm_data"))
     gcfg = None
-    if args.pad or args.bf16 or args.precision:
+    if args.pad or args.bf16 or args.precision or args.dt_stride or args.width:
         import copy
         from srm_tpu.config import DEFAULT_GENERAL_CONFIG
         gcfg = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
@@ -73,6 +75,10 @@ def main():
             gcfg["compute_dtype"] = "bfloat16"
         if args.precision:
             gcfg["precision_policy"] = args.precision
+        if args.dt_stride:
+            gcfg["dt_input_stride"] = args.dt_stride
+        if args.width:
+            gcfg["network_width"] = args.width
     case = setup_case(args.fluid, base_dir=base, nx=args.nx,
                       nz=None if args.nz <= 1 else args.nz,
                       n_realizations=50, kle_method="uncorrelated",
@@ -88,7 +94,8 @@ def main():
 
     out = {"fluid": args.fluid, "grid": f"{args.nx}x{args.nx}x{args.nz}",
            "batch": args.batch, "pallas": loss_fn.use_pallas_stencil,
-           "pad": args.pad, "bf16": args.bf16, "ms": {}}
+           "pad": args.pad, "bf16": args.bf16, "dt_stride": args.dt_stride,
+           "width": args.width, "ms": {}}
 
     m = loss_fn.models
     x2 = jnp.concatenate([xb, xb], axis=0)
