@@ -15,6 +15,8 @@ solver, per-model optimizer updates — the reference's hot loop, SURVEY §3.2):
   upstream residual, the reference's DEFAULT fluid)
 * ``gc3d``         — 39×39×10 volumetric GC (beyond-reference)
 * ``gc2d_bf16``    — gc2d with bfloat16 network compute
+* ``dg3d_bf16_dt2``— dg3d with bf16 + dt_input_stride=2 (the Δt net on a
+  strided grid): 2.9× the f32 step time in the r3 profile
 
 Each case reports steps/s and model FLOPs utilization (MFU) estimated from
 XLA's own ``cost_analysis`` of the compiled epoch program against the chip's
@@ -258,6 +260,17 @@ def main():
                                            kle_method="uncorrelated")
     except Exception as e:
         cases["dg2d_large"] = {"error": str(e)[:200]}
+    try:
+        import copy as _copy
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+        gb["compute_dtype"] = "bfloat16"
+        gb["dt_input_stride"] = 2
+        cases["dg3d_bf16_dt2"] = measure_case(
+            "dg3d_bf16_dt2", nx=39, nz=10, batch=32, realizations=50,
+            kle_method="uncorrelated", general_config=gb)
+    except Exception as e:
+        cases["dg3d_bf16_dt2"] = {"error": str(e)[:200]}
     # gas-condensate (two-phase) cases: regression-track the 4-flux upstream
     # loss path (VERDICT r2 item 4 — the driver artifact was DG-only)
     try:

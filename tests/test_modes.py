@@ -138,3 +138,26 @@ def test_validate_loss_keys(small_case):
         validate_loss_keys({}, loss_fn.loss_keys, {"physics_mode_fraction": 0.0})
     validate_loss_keys({"PRESSURE": np.zeros((4, 2))}, loss_fn.loss_keys,
                        {"physics_mode_fraction": 0.0})
+
+
+def test_dt_input_stride_loss_and_grads(small_case):
+    """dt_input_stride=2 runs the Δt net on a strided grid; the loss stays
+    finite, gradients still reach the Δt net, and the Δt bounds hold."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    base = small_case["loss_fn"]
+    g = copy.deepcopy(base.general_config)
+    g["dt_input_stride"] = 2
+    lf = PhysicsLoss(base.models, base.data_summary, general_config=g,
+                     reservoir_config=base.reservoir_config,
+                     wells_config=base.wells_config, fluid_type="DG",
+                     use_pallas_stencil=False)
+    x, y = small_case["train_groups"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    aux, grads, total = lf.pinn_batch_sse_grad(small_case["params"], xb, yb)
+    assert np.isfinite(float(total))
+    leaves = jax.tree_util.tree_leaves(grads["time_step"])
+    assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
+    tstep = float(jnp.mean(aux["outputs"]["tstep"]))
+    assert 0.1 <= tstep <= 10.0
