@@ -34,8 +34,14 @@ def cmd_train(args):
         from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case as setup
     from srm_tpu.training.trainer import train_combined_models_unified
 
+    g = None
+    if getattr(args, "production", False):
+        # measured-best TPU settings (bf16 nets + strided Δt input):
+        # 2.9x the f32 dg3d step AND better converged RMSE (BASELINE.md r3)
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+        g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
     case = setup(base_dir=args.base_dir, nx=args.nx,
-                 n_realizations=args.realizations)
+                 n_realizations=args.realizations, general_config=g)
     params, history, best = train_combined_models_unified(
         case["train_groups"], case["val_groups"], models=case["models"],
         params=case["params"], loss_fn=case["loss_fn"],
@@ -100,6 +106,9 @@ def main(argv=None):
     t.add_argument("--realizations", type=int, default=None)
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--production", action="store_true",
+                   help="apply the measured-best TPU settings "
+                        "(bfloat16 nets, dt_input_stride=2)")
     t.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("predict", help="pressure rollout with the trained surrogate")

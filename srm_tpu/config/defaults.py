@@ -84,6 +84,28 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
     "srm_units": "field",
 }
 
+# Measured-best TPU production settings (tools/step_profile.py +
+# tools/rmse_experiment.py, round 3): bf16 conv compute with the Δt net on a
+# 2x-strided grid is 2.9x the f32 dg3d step time AND converges BETTER than
+# f32 on the matched-RMSE experiment (31.8 vs 34.3 psia). Apply with
+# ``apply_production_overrides(general_config)`` or the CLI ``--production``
+# flag. Kept out of DEFAULT_GENERAL_CONFIG so that CPU test runs and
+# reference-parity comparisons stay in plain f32.
+TPU_PRODUCTION_OVERRIDES: Dict[str, Any] = {
+    "compute_dtype": "bfloat16",
+    "dt_input_stride": 2,
+}
+
+
+def apply_production_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a copy of ``general_config`` with the measured-best TPU
+    production settings applied (explicit user settings win)."""
+    out = copy.deepcopy(general_config)
+    for k, v in TPU_PRODUCTION_OVERRIDES.items():
+        if out.get(k) in (None, False):
+            out[k] = v
+    return out
+
 # --------------------------------------------------------------------------
 # Reservoir (ref :92-127)
 # --------------------------------------------------------------------------

@@ -203,3 +203,20 @@ def test_validate_loss_keys_called_in_unified_driver():
         train_combined_models_unified(
             [(x, {})], [], loss_fn=_FakeLoss(), params={},
             training_batch_size=2, epochs=1, verbose=0, general_config=g)
+
+
+def test_production_overrides():
+    from srm_tpu.config import (DEFAULT_GENERAL_CONFIG,
+                                TPU_PRODUCTION_OVERRIDES,
+                                apply_production_overrides)
+    g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
+    assert g["compute_dtype"] == "bfloat16"
+    assert g["dt_input_stride"] == 2
+    # explicit user settings win
+    import copy
+    g2 = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g2["compute_dtype"] = "float32"
+    assert apply_production_overrides(g2)["compute_dtype"] == "float32"
+    # the shipped defaults themselves are untouched
+    assert DEFAULT_GENERAL_CONFIG["compute_dtype"] is None
+    assert set(TPU_PRODUCTION_OVERRIDES) == {"compute_dtype", "dt_input_stride"}
