@@ -121,6 +121,59 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     return res
 
 
+def measure_inference(fluid: str = "DG", n_realizations: int = 16,
+                      reps: int = 3, nx=None, setup_realizations=None,
+                      kle_method=None) -> dict:
+    """Surrogate-vs-simulator processing time — the reference's headline
+    claim (ref README closing paragraphs: the surrogate saves "up to 90% of
+    the total processing time" vs running the numerical simulator).
+
+    Times the surrogate rollout (``SRMPredictor.predict_pressure``) and the
+    in-repo implicit FV simulator on the SAME workload — ``n_realizations``
+    permeability fields × the full report-time schedule — on the same
+    device, and reports the measured time saving."""
+    import jax
+    import numpy as np
+    from srm_tpu.eval.predictor import SRMPredictor
+    from srm_tpu.examples.common import setup_case
+    from srm_tpu.sim import simulate_labels
+
+    base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
+                          os.path.join(HERE, "_srm_data"))
+    case = setup_case(fluid, base_dir=base, nx=nx,
+                      n_realizations=setup_realizations,
+                      kle_method=kle_method)
+    proc = case["processor"]
+    permx = proc.generate_kle_splits()["test"][:n_realizations]
+    times = np.asarray(proc.generate_time_tensor()["test"]).reshape(-1)
+
+    pred = SRMPredictor(case["models"], case["params"], case["data_summary"],
+                        general_config=case["general_config"],
+                        reservoir_config=proc.reservoir_config)
+    p = pred.predict_pressure(permx, times)          # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        p = pred.predict_pressure(permx, times)
+    t_sur = (time.perf_counter() - t0) / reps
+    n_fields = int(np.prod(p.shape[:2]))
+
+    # FV simulator on the identical workload (compile once, then time)
+    simulate_labels(proc, "test", permx=permx[:2], times=times)
+    t0 = time.perf_counter()
+    simulate_labels(proc, "test", permx=permx, times=times)
+    t_sim = time.perf_counter() - t0
+
+    return {
+        "grid": f"{proc.reservoir_config['Nx']}x{proc.reservoir_config['Ny']}"
+                f"x{proc.reservoir_config['Nz']}",
+        "realizations": int(permx.shape[0]), "timesteps": int(times.size),
+        "surrogate_s": round(t_sur, 4), "simulator_s": round(t_sim, 4),
+        "surrogate_fields_per_sec": round(n_fields / t_sur, 1),
+        "speedup_vs_simulator": round(t_sim / t_sur, 1),
+        "time_saving_pct": round(100.0 * (1.0 - t_sur / t_sim), 2),
+    }
+
+
 def measure_reference_style_cpu(batch: int = BATCH, steps: int = 20) -> dict:
     """Fallback baseline: the reference's execution strategy with identical
     math on the host CPU — eager per-step Python loop, ONE compiled loss
@@ -292,6 +345,13 @@ def main():
                                           general_config=gb)
     except Exception as e:
         cases["gc2d_bf16"] = {"error": str(e)[:200]}
+
+    # surrogate-replaces-the-simulator headline (ref README's "90% of the
+    # total processing time" claim, measured on identical workloads)
+    try:
+        cases["infer_vs_sim"] = measure_inference()
+    except Exception as e:
+        cases["infer_vs_sim"] = {"error": str(e)[:200]}
 
     headline = cases["dg2d"]["steps_per_sec"]
     base_tf = tf_baseline()
