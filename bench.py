@@ -123,7 +123,7 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
 
 def measure_inference(fluid: str = "DG", n_realizations: int = 16,
                       reps: int = 3, nx=None, setup_realizations=None,
-                      kle_method=None) -> dict:
+                      kle_method=None, case=None) -> dict:
     """Surrogate-vs-simulator processing time — the reference's headline
     claim (ref README closing paragraphs: the surrogate saves "up to 90% of
     the total processing time" vs running the numerical simulator).
@@ -140,9 +140,10 @@ def measure_inference(fluid: str = "DG", n_realizations: int = 16,
 
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(HERE, "_srm_data"))
-    case = setup_case(fluid, base_dir=base, nx=nx,
-                      n_realizations=setup_realizations,
-                      kle_method=kle_method)
+    if case is None:
+        case = setup_case(fluid, base_dir=base, nx=nx,
+                          n_realizations=setup_realizations,
+                          kle_method=kle_method)
     proc = case["processor"]
     permx = proc.generate_kle_splits()["test"][:n_realizations]
     times = np.asarray(proc.generate_time_tensor()["test"]).reshape(-1)

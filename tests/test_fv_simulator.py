@@ -130,3 +130,22 @@ def test_simulator_label_training_and_rmse(sim_proc, tmp_path):
     # sanity bound: a barely-trained model sits within ~psia scale of the
     # labels; a units/alignment/transpose bug would put this at 1e4-1e5
     assert rmse < 3500.0
+
+
+def test_infer_vs_sim_bench_case(dg9_case):
+    """The ``infer_vs_sim`` bench case (bench.measure_inference): the
+    surrogate rollout and the FV simulator run the same workload and the
+    reported timing/speedup fields are well-formed (the driver records this
+    artifact every round — ref README's "90% of the total processing time"
+    claim is what it measures)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    r = bench.measure_inference(n_realizations=2, reps=1, case=dg9_case)
+    for key in ("surrogate_s", "simulator_s", "surrogate_fields_per_sec",
+                "speedup_vs_simulator", "time_saving_pct"):
+        assert key in r, key
+    assert r["realizations"] == 2
+    assert r["surrogate_s"] > 0 and r["simulator_s"] > 0
+    assert np.isfinite(r["speedup_vs_simulator"])
