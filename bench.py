@@ -346,6 +346,20 @@ def main():
                                           general_config=gb)
     except Exception as e:
         cases["gc2d_bf16"] = {"error": str(e)[:200]}
+    # GC production profile on the compute-bound 3D case (GC is the
+    # reference's default fluid; bf16 + dt_input_stride=2 is the shipped
+    # TPU_PRODUCTION_OVERRIDES setting)
+    try:
+        import copy as _copy
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+        gb["compute_dtype"] = "bfloat16"
+        gb["dt_input_stride"] = 2
+        cases["gc3d_bf16_dt2"] = measure_case(
+            "gc3d_bf16_dt2", fluid="GC", nx=39, nz=10, batch=32,
+            realizations=50, kle_method="uncorrelated", general_config=gb)
+    except Exception as e:
+        cases["gc3d_bf16_dt2"] = {"error": str(e)[:200]}
 
     # surrogate-replaces-the-simulator headline (ref README's "90% of the
     # total processing time" claim, measured on identical workloads)
