@@ -325,6 +325,16 @@ def main():
             kle_method="uncorrelated", general_config=gb)
     except Exception as e:
         cases["dg3d_bf16_dt2"] = {"error": str(e)[:200]}
+    # the production profile at reference scale (bf16 + dt_input_stride=2
+    # converges BETTER than f32 — 31.8 vs 34.3 psia, BASELINE.md round 3 —
+    # so its step rate is accuracy-fair against the f32 headline)
+    try:
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+        cases["dg2d_production"] = measure_case(
+            "dg2d_production",
+            general_config=apply_production_overrides(DEFAULT_GENERAL_CONFIG))
+    except Exception as e:
+        cases["dg2d_production"] = {"error": str(e)[:200]}
     # gas-condensate (two-phase) cases: regression-track the 4-flux upstream
     # loss path (VERDICT r2 item 4 — the driver artifact was DG-only)
     try:
