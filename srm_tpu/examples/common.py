@@ -25,7 +25,9 @@ def setup_case(fluid_type: str, base_dir: Optional[str] = None,
                general_config: Optional[Dict] = None,
                seed: Optional[int] = None, nz: Optional[int] = None,
                kle_method: Optional[str] = None,
-               use_pallas_stencil: Optional[bool] = None):
+               use_pallas_stencil: Optional[bool] = None,
+               pi: Optional[float] = None,
+               min_bhp: Optional[float] = None):
     """Build everything for one training case; returns a dict bundle.
 
     ``nx``/``nz``/``n_realizations`` resize the problem for tests, smoke runs
@@ -57,6 +59,17 @@ def setup_case(fluid_type: str, base_dir: Optional[str] = None,
         processor.reservoir_config["realizations"]["permx"]["number"] = n_realizations
     if kle_method is not None:
         processor.reservoir_config["realizations"]["permx"]["method"] = kle_method
+    if pi is not None:
+        # Drawdown scenarios: the shipped case (Pi=5000, minimum_bhp=4100)
+        # deliberately never crosses the 4048.4-psia dew point
+        # (ref default_configurations.py:59 'above_dew_point': True), so GC
+        # condensate dropout is never exercised. Lowering Pi and the BHP
+        # floor produces sub-dew-point labels; both feed the config hash, so
+        # the dataset/label cache regenerates automatically.
+        processor.reservoir_config["initialization"]["Pi"] = float(pi)
+    if min_bhp is not None:
+        for conn in processor.wells_config["connections"]:
+            conn["minimum_bhp"] = float(min_bhp)
 
     path, train_groups, val_groups, test_groups, pred_groups = \
         processor.get_or_generate_training_data()
