@@ -173,3 +173,26 @@ def test_gc_label_training_and_rmse(gc_proc):
     assert np.isfinite(p_rmse) and p_rmse > 0
     assert np.isfinite(s_rmse) and 0 < s_rmse < 1.0
     assert p_rmse < 3500.0
+
+
+def test_setup_case_drawdown_overrides(tmp_path):
+    """The ``pi``/``min_bhp`` overrides in ``setup_case`` build a genuine
+    below-dew-point GC case: the shipped config (Pi=5000, minimum_bhp=4100)
+    never crosses the 4048.4-psia dew point, so these knobs are what makes
+    condensate dropout reachable from the experiment CLI
+    (``tools/rmse_experiment.py --pi --min-bhp``)."""
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.examples.common import setup_case
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["label_source"] = "simulator"
+    case = setup_case("GC", base_dir=str(tmp_path), nx=9, n_realizations=4,
+                      general_config=g, pi=4300.0, min_bhp=2000.0)
+    assert float(case["loss_fn"].Pi) == 4300.0
+    _, yte = case["test_groups"][0]
+    p = np.asarray(yte["PRESSURE"])
+    sg = np.asarray(yte["SGAS"])
+    assert 0.0 < p.min() < 4048.4 < p.max() <= 4300.0
+    # condensate drops out where the pressure crossed the dew point
+    assert sg.min() < sg.max() - 0.02
+    np.testing.assert_allclose(sg.max(), 0.78, atol=1e-3)
