@@ -371,6 +371,19 @@ def main():
     except Exception as e:
         cases["gc3d_bf16_dt2"] = {"error": str(e)[:200]}
 
+    # the most-accurate configuration measured (28.63 psia with the retuned
+    # decay-250 schedule, BASELINE.md round-3 tables): 4x-wide nets fill the
+    # MXU at ~3x the FLOPs for <2x the wall — the compute-bound MFU row
+    try:
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+        gw = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
+        gw["network_width"] = 64
+        cases["dg3d_w64_production"] = measure_case(
+            "dg3d_w64_production", nx=39, nz=10, batch=32, realizations=50,
+            kle_method="uncorrelated", general_config=gw)
+    except Exception as e:
+        cases["dg3d_w64_production"] = {"error": str(e)[:200]}
+
     # surrogate-replaces-the-simulator headline (ref README's "90% of the
     # total processing time" claim, measured on identical workloads)
     try:
