@@ -391,7 +391,14 @@ def main():
     except Exception as e:
         cases["infer_vs_sim"] = {"error": str(e)[:200]}
 
-    headline = cases["dg2d"]["steps_per_sec"]
+    # headline: the shipped production profile at reference scale — it
+    # converges BETTER than f32 on the matched-RMSE protocol (31.8 vs 34.3
+    # psia, BASELINE.md round 3), so its step rate is accuracy-fair; fall
+    # back to the f32 case if the production case errored
+    prod = cases.get("dg2d_production", {})
+    headline_case = ("dg2d_production" if isinstance(prod.get("steps_per_sec"), float)
+                     else "dg2d")
+    headline = cases[headline_case]["steps_per_sec"]
     base_tf = tf_baseline()
     base = base_tf if base_tf == base_tf else cpu_baseline()
     vs = headline / base if base == base and base > 0 else None
@@ -399,6 +406,7 @@ def main():
         "metric": "train_steps_per_sec",
         "value": headline,
         "unit": "steps/s",
+        "headline_case": headline_case,
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "baseline_kind": ("tf_reference_cpu" if base_tf == base_tf
                           else "reference_style_jax_cpu"),
