@@ -127,6 +127,39 @@ def test_data_mode_supervised_training(small_case):
     assert last < first
 
 
+def test_td_weight_override_rebalances_mixed_mode(small_case):
+    """An overridden ``default_weights[ph]['td']`` propagates into PhysicsLoss
+    and scales the mixed-mode data term — the ``--sg-td-weight`` lever in
+    tools/rmse_experiment.py (equal td weights let the pressure SSE drown the
+    GC Sg SSE by ~1e5x, since p errors are O(10 psia) vs Sg's O(0.05))."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    base = small_case["loss_fn"]
+
+    def mk(td_weight=None):
+        g = copy.deepcopy(base.general_config)
+        g["physics_mode_fraction"] = 0.5
+        if td_weight is not None:
+            g["default_weights"]["gas"]["td"] = td_weight
+        return PhysicsLoss(base.models, base.data_summary, general_config=g,
+                           reservoir_config=base.reservoir_config,
+                           wells_config=base.wells_config, fluid_type="DG")
+
+    loss_w, loss_1 = mk(40.0), mk()
+    assert loss_w.weights["gas"]["td"] == 40.0
+    x, _ = small_case["train_groups"][0]
+    xb = jnp.asarray(x[0, :4])
+    yb = {"PRESSURE": jnp.zeros(xb.shape[:-1] + (1,))}
+    _, aux_w = loss_w.loss_and_metrics(small_case["params"], xb, yb)
+    _, aux_1 = loss_1.loss_and_metrics(small_case["params"], xb, yb)
+    # default td weight 0 falls back to 1 in non-pure-physics modes, so the
+    # override must scale the td term by exactly 40x; physics terms unchanged
+    assert float(aux_w["gas"]["td"]) == pytest.approx(
+        40.0 * float(aux_1["gas"]["td"]), rel=1e-6)
+    assert float(aux_1["gas"]["td"]) > 0.0
+    assert float(aux_w["gas"]["dom"]) == pytest.approx(
+        float(aux_1["gas"]["dom"]), rel=1e-6)
+
+
 def test_validate_loss_keys(small_case):
     from srm_tpu.training.trainer import validate_loss_keys
     loss_fn = small_case["loss_fn"]
