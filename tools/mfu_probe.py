@@ -98,6 +98,58 @@ def probe(case_name: str, *, batch=32, nx=39, nz=1, width=(32, 1.5),
     return out
 
 
+def probe_two_nets(case_name: str, *, batch=32, nx=39, nz=1,
+                   compute_dtype=None, stacked=False, reps=20):
+    """Two architecturally-identical encoder-decoders (the GC pressure +
+    saturation pair, nn/modules.py:129-171) evaluated either sequentially
+    (the shipped design) or as one vmap-over-stacked-params forward
+    (VERDICT r2 item 3b). On TPU, vmapping params turns each conv into a
+    grouped/batched conv — this probe measures whether XLA executes that
+    faster than two plain convs."""
+    from srm_tpu.config import get_configuration
+    from srm_tpu.nn.encoder_decoder import EncoderDecoderModel
+
+    cfg = get_configuration("encoder_decoder",
+                            input_shape=(1, nz, nx, nx, 1) if nz > 1 else None)
+    cfg["spatial_dims"] = 3 if nz > 1 else 2
+    cfg["temporal"] = False
+    cfg["compute_dtype"] = compute_dtype
+    model = EncoderDecoderModel.from_config(cfg)
+
+    shape = (batch, nz, nx, nx, 5) if nz > 1 else (batch, nx, nx, 5)
+    x = jax.random.uniform(jax.random.PRNGKey(0), shape, jnp.float32, -1, 1)
+    p1 = model.init(jax.random.PRNGKey(1), x)
+    p2 = model.init(jax.random.PRNGKey(2), x)
+
+    if stacked:
+        pstk = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), p1, p2)
+
+        def loss(p, xx):
+            y = jax.vmap(model.apply, in_axes=(0, None))(p, xx)
+            return jnp.sum(jnp.square(y))
+
+        args_ = (pstk, x)
+    else:
+        def loss(ps, xx):
+            return (jnp.sum(jnp.square(model.apply(ps[0], xx)))
+                    + jnp.sum(jnp.square(model.apply(ps[1], xx))))
+
+        args_ = ((p1, p2), x)
+
+    step = jax.jit(jax.grad(loss))
+    g = step(*args_)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g = step(*args_)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / reps
+    out = {"case": case_name, "ms_per_step": round(dt * 1e3, 3),
+           "batch": batch, "grid": f"{nx}x{nx}x{nz}"}
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nz", type=int, default=1)
