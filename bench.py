@@ -371,6 +371,19 @@ def main():
     except Exception as e:
         cases["gc3d_bf16_dt2"] = {"error": str(e)[:200]}
 
+    # batch-scaled production 3D: the compute-bound MFU row. b128 at the
+    # production profile is ~1.76x the per-sample throughput of b32
+    # (tools/step_profile.py round 3: 37.4 ms @ b32 vs 84.8 ms @ b128),
+    # i.e. ~2.7x the MFU of the f32 b32 case (VERDICT r2 item 3)
+    try:
+        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+        cases["dg3d_production_b128"] = measure_case(
+            "dg3d_production_b128", nx=39, nz=10, batch=128, realizations=50,
+            kle_method="uncorrelated",
+            general_config=apply_production_overrides(DEFAULT_GENERAL_CONFIG))
+    except Exception as e:
+        cases["dg3d_production_b128"] = {"error": str(e)[:200]}
+
     # the most-accurate configuration measured (28.63 psia with the retuned
     # decay-250 schedule, BASELINE.md round-3 tables): 4x-wide nets fill the
     # MXU at ~3x the FLOPs for <2x the wall — the compute-bound MFU row
