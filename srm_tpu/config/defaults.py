@@ -72,6 +72,12 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
     "split_sampling_method": "random",
     # Physics / data mode
     "physics_mode_fraction": 1.0,
+    # td (training-data) error scaling: None (raw, reference parity),
+    # "balance" (rescale 2nd+ labels' errors to the 1st label's batch std —
+    # fixes the ~1e7x pressure-vs-Sg scale gap in GC mixed/data modes while
+    # leaving pressure and all DG behavior unchanged), or "label_std"
+    # (pure relative errors). See PhysicsLoss.td_normalization.
+    "td_loss_normalization": None,
     # Fluid
     "fluid_type": "DG",
     "above_dew_point": True,

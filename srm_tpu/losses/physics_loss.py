@@ -281,6 +281,20 @@ class PhysicsLoss:
         self.scal_config = scal_config or DEFAULT_SCAL_CONFIG
         self.fluid_type = (fluid_type or self.general_config["fluid_type"]).upper()
         self.physics_mode_fraction = float(self.general_config["physics_mode_fraction"])
+        # td (training-data) error scaling. The raw td errors live in wildly
+        # different units — pressure in psia (SSE ~1e4/elem) vs saturation in
+        # fractions (SSE ~1e-3/elem) — so with comparable weights the pressure
+        # term swamps the Sg term by ~7 orders of magnitude and the Sg head is
+        # governed by physics terms alone (measured: trained Sg RMSE 2-3x the
+        # trivial predict-Sgi baseline, drifting worse with epochs).
+        #   None        — raw errors (reference parity; ref physics_loss.py
+        #                 td terms are raw differences too).
+        #   "balance"   — leave the first label's (pressure) error unchanged,
+        #                 rescale every further label's error to the first
+        #                 label's batch std. DG runs are a no-op.
+        #   "label_std" — divide every label's error by its batch std
+        #                 (pure relative errors; also rescales pressure).
+        self.td_normalization = self.general_config.get("td_loss_normalization")
         self.remat_forwards = bool(self.general_config.get("remat_forwards", False))
         self.dt_input_stride = int(self.general_config.get("dt_input_stride", 1) or 1)
         self.optimizer_model_names_map = (optimizer_model_names_map
@@ -942,10 +956,16 @@ class PhysicsLoss:
         model_out = [res["outputs"]["p_n0"]]
         if self.fluid_type == "GC":
             model_out.append(res["outputs"]["Sg_n0"])
-        td_terms = []
+        td_terms, td_stds = [], []
         for lab, out in zip(labels, model_out):
             lab = jnp.reshape(lab, out.shape)
             td_terms.append(out - lab)
+            td_stds.append(jnp.maximum(jnp.std(lab), 1e-8))
+        if self.td_normalization == "label_std":
+            td_terms = [e / s for e, s in zip(td_terms, td_stds)]
+        elif self.td_normalization == "balance" and len(td_terms) > 1:
+            td_terms = [td_terms[0]] + [
+                e * (td_stds[0] / s) for e, s in zip(td_terms[1:], td_stds[1:])]
 
         total = jnp.asarray(0.0, jnp.float32)
         aux: Dict[str, Dict[str, Array]] = {ph: {} for ph in phases}

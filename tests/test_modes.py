@@ -43,19 +43,20 @@ def test_pallas_loss_matches_jnp_loss(small_case):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
-def test_pallas_gc_loss_matches_jnp_loss(tmp_path):
-    """GC PhysicsLoss with use_pallas_stencil=True reproduces the jnp
-    two-phase residual losses (interpret mode on CPU; Mosaic on TPU)."""
+@pytest.fixture(scope="module")
+def gc13_case(tmp_path_factory):
+    """Small GC case shared by the GC-mode tests in this module (one build +
+    one compiled loss shape instead of per-test rebuilds)."""
     from srm_tpu.config import DEFAULT_GENERAL_CONFIG
     from srm_tpu.data.dataset import SRMDataProcessor
     from srm_tpu.nn.modules import build_model_map
-    from srm_tpu.losses.physics_loss import PhysicsLoss
     from srm_tpu.utils.stats import DataSummary
 
     g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
     g["fluid_type"] = "GC"
     g["unit_target_shape"] = (1, 1, 13, 13, 1)
-    proc = SRMDataProcessor(base_dir=str(tmp_path), general_config=g)
+    proc = SRMDataProcessor(base_dir=str(tmp_path_factory.mktemp("gc13")),
+                            general_config=g)
     proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
     proc.reservoir_config["realizations"]["permx"]["number"] = 4
     proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
@@ -68,12 +69,23 @@ def test_pallas_gc_loss_matches_jnp_loss(tmp_path):
                                      general_config=g,
                                      reservoir_config=proc.reservoir_config,
                                      wells_config=proc.wells_config, data_summary=ds)
+    return {"g": g, "proc": proc, "ds": ds, "models": models,
+            "params": params, "train_groups": tr}
+
+
+def test_pallas_gc_loss_matches_jnp_loss(gc13_case):
+    """GC PhysicsLoss with use_pallas_stencil=True reproduces the jnp
+    two-phase residual losses (interpret mode on CPU; Mosaic on TPU)."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    g, proc, ds = gc13_case["g"], gc13_case["proc"], gc13_case["ds"]
+    models, params = gc13_case["models"], gc13_case["params"]
     mk = lambda pallas: PhysicsLoss(  # noqa: E731
         models, ds, general_config=g, reservoir_config=proc.reservoir_config,
         wells_config=proc.wells_config, fluid_type="GC",
         use_pallas_stencil=pallas)
     base, pal = mk(False), mk(True)
-    x, y = tr[0]
+    x, y = gc13_case["train_groups"][0]
     xb = jnp.asarray(x[:2, 0])
     yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
     t_ref, aux_ref = base.loss_and_metrics(params, xb, yb)
@@ -158,6 +170,81 @@ def test_td_weight_override_rebalances_mixed_mode(small_case):
     assert float(aux_1["gas"]["td"]) > 0.0
     assert float(aux_w["gas"]["dom"]) == pytest.approx(
         float(aux_1["gas"]["dom"]), rel=1e-6)
+
+
+def test_td_normalization_balance_equalizes_gc_td_scales(gc13_case):
+    """``td_loss_normalization``: "balance" leaves the pressure td term
+    unchanged and rescales the Sg td error to the pressure label's batch std
+    (closing the ~1e7x psia-vs-fraction scale gap that let the pressure
+    SSE drown the Sg label gradient); "label_std" makes every td error
+    relative. Raw mode is reference parity."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    g0, proc, ds = gc13_case["g"], gc13_case["proc"], gc13_case["ds"]
+    models, params = gc13_case["models"], gc13_case["params"]
+
+    def mk(norm):
+        g = copy.deepcopy(g0)
+        g["physics_mode_fraction"] = 0.5
+        g["td_loss_normalization"] = norm
+        return PhysicsLoss(models, ds, general_config=g,
+                           reservoir_config=proc.reservoir_config,
+                           wells_config=proc.wells_config, fluid_type="GC",
+                           use_pallas_stencil=False)
+
+    raw, bal, rel = mk(None), mk("balance"), mk("label_std")
+    x, _ = gc13_case["train_groups"][0]
+    # mid-trajectory samples: at the very first time index the HardLayer ramp
+    # alpha_t is exactly 0, which zeroes every net gradient by construction
+    xb = jnp.asarray(x[0, 20:22])
+    # synthetic labels with known, very different scales
+    rng = np.random.RandomState(1)
+    shape = xb.shape[:-1] + (1,)
+    p_lab = 4000.0 + 150.0 * rng.randn(*shape)
+    s_lab = 0.8 + 0.01 * rng.randn(*shape)
+    yb = {"PRESSURE": jnp.asarray(p_lab), "SGAS": jnp.asarray(s_lab)}
+    std_p, std_s = float(np.std(p_lab)), float(np.std(s_lab))
+
+    _, aux_raw = raw.loss_and_metrics(params, xb, yb)
+    _, aux_bal = bal.loss_and_metrics(params, xb, yb)
+    _, aux_rel = rel.loss_and_metrics(params, xb, yb)
+
+    # balance: pressure unchanged, Sg scaled by (std_p / std_s)^2
+    assert float(aux_bal["gas"]["td"]) == pytest.approx(
+        float(aux_raw["gas"]["td"]), rel=1e-6)
+    assert float(aux_bal["oil"]["td"]) == pytest.approx(
+        float(aux_raw["oil"]["td"]) * (std_p / std_s) ** 2, rel=1e-4)
+    # label_std: each term scaled by its own 1/std^2
+    assert float(aux_rel["gas"]["td"]) == pytest.approx(
+        float(aux_raw["gas"]["td"]) / std_p ** 2, rel=1e-4)
+    assert float(aux_rel["oil"]["td"]) == pytest.approx(
+        float(aux_raw["oil"]["td"]) / std_s ** 2, rel=1e-4)
+    # physics terms untouched by td scaling
+    assert float(aux_bal["oil"]["dom"]) == pytest.approx(
+        float(aux_raw["oil"]["dom"]), rel=1e-6)
+    # after balancing, the two td terms are within a few orders of magnitude
+    # (raw mode: ~7 orders apart)
+    r_bal = float(aux_bal["gas"]["td"]) / float(aux_bal["oil"]["td"])
+    r_raw = float(aux_raw["gas"]["td"]) / float(aux_raw["oil"]["td"])
+    assert r_raw > 1e4 and 1e-4 < r_bal < 1e4
+
+    # in data-only mode (td is the sole term) the saturation net now receives
+    # a materially larger label gradient; at f=0.5 the comparison is masked by
+    # the physics terms, which dwarf td at an untrained init
+    def mk_data(norm_mode):
+        g = copy.deepcopy(g0)
+        g["physics_mode_fraction"] = 0.0
+        g["td_loss_normalization"] = norm_mode
+        return PhysicsLoss(models, ds, general_config=g,
+                           reservoir_config=proc.reservoir_config,
+                           wells_config=proc.wells_config, fluid_type="GC",
+                           use_pallas_stencil=False)
+
+    _, grads_raw, _ = mk_data(None).pinn_batch_sse_grad(params, xb, yb)
+    _, grads_bal, _ = mk_data("balance").pinn_batch_sse_grad(params, xb, yb)
+    norm = lambda g: sum(  # noqa: E731
+        float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert norm(grads_bal["saturation"]) > 100.0 * norm(grads_raw["saturation"])
 
 
 def test_validate_loss_keys(small_case):
