@@ -55,3 +55,36 @@ def dg9_case(tmp_path_factory):
     from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     return setup_dry_gas_case(base_dir=str(tmp_path_factory.mktemp("dg9")),
                               nx=9, n_realizations=6)
+
+
+@pytest.fixture(scope="session")
+def gc13_case(tmp_path_factory):
+    """Small shared GC case (13×13, 4 realizations): one dataset build and
+    one compiled two-phase loss shape for every GC test module."""
+    import copy
+
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.data.dataset import SRMDataProcessor
+    from srm_tpu.nn.modules import build_model_map
+    from srm_tpu.utils.stats import DataSummary
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["fluid_type"] = "GC"
+    g["unit_target_shape"] = (1, 1, 13, 13, 1)
+    proc = SRMDataProcessor(base_dir=str(tmp_path_factory.mktemp("gc13")),
+                            general_config=g)
+    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
+    proc.reservoir_config["realizations"]["permx"]["number"] = 4
+    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
+    for conn in proc.wells_config["connections"]:
+        conn["i"] = min(conn["i"] // 3, 12)
+        conn["j"] = min(conn["j"] // 3, 12)
+    _, tr, va, te, pr = proc.get_or_generate_training_data()
+    ds = DataSummary([proc.load_training_statistics()])
+    models, params = build_model_map(tr[0][0].shape, fluid_type="GC",
+                                     general_config=g,
+                                     reservoir_config=proc.reservoir_config,
+                                     wells_config=proc.wells_config,
+                                     data_summary=ds)
+    return {"g": g, "proc": proc, "ds": ds, "models": models,
+            "params": params, "train_groups": tr}

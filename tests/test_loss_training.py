@@ -169,37 +169,17 @@ def test_predictor_rollout(dg_case):
     assert np.isfinite(np.asarray(q)).all()
 
 
-def test_gc_loss_builds_and_runs(tmp_path):
+def test_gc_loss_builds_and_runs(gc13_case):
     """Gas-condensate path: saturation model + two-phase residuals."""
-    import copy
-    from srm_tpu.config import DEFAULT_GENERAL_CONFIG, get_optimizer_model_mapping
-    from srm_tpu.data.dataset import SRMDataProcessor
-    from srm_tpu.nn.modules import build_model_map
     from srm_tpu.losses.physics_loss import PhysicsLoss
-    from srm_tpu.utils.stats import DataSummary
 
-    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-    g["fluid_type"] = "GC"
-    g["unit_target_shape"] = (1, 1, 13, 13, 1)
-    proc = SRMDataProcessor(base_dir=str(tmp_path), general_config=g)
-    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
-    proc.reservoir_config["realizations"]["permx"]["number"] = 6
-    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
-    for conn in proc.wells_config["connections"]:
-        conn["i"] = min(conn["i"] // 3, 12)
-        conn["j"] = min(conn["j"] // 3, 12)
-    _, tr, va, te, pr = proc.get_or_generate_training_data()
-    stats = proc.load_training_statistics()
-    ds = DataSummary([stats])
-    models, params = build_model_map(tr[0][0].shape, fluid_type="GC",
-                                     general_config=g,
-                                     reservoir_config=proc.reservoir_config,
-                                     wells_config=proc.wells_config, data_summary=ds)
+    g, proc, ds = gc13_case["g"], gc13_case["proc"], gc13_case["ds"]
+    models, params = gc13_case["models"], gc13_case["params"]
     assert "saturation_model" in models
     loss_fn = PhysicsLoss(models, ds, general_config=g,
                           reservoir_config=proc.reservoir_config,
                           wells_config=proc.wells_config, fluid_type="GC")
-    x, y = tr[0]
+    x, y = gc13_case["train_groups"][0]
     xb = jnp.asarray(x[:2, 0])
     yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
     aux, grads, total = loss_fn.pinn_batch_sse_grad(params, xb, yb)

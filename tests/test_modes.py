@@ -43,36 +43,6 @@ def test_pallas_loss_matches_jnp_loss(small_case):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
-@pytest.fixture(scope="module")
-def gc13_case(tmp_path_factory):
-    """Small GC case shared by the GC-mode tests in this module (one build +
-    one compiled loss shape instead of per-test rebuilds)."""
-    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-    from srm_tpu.data.dataset import SRMDataProcessor
-    from srm_tpu.nn.modules import build_model_map
-    from srm_tpu.utils.stats import DataSummary
-
-    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-    g["fluid_type"] = "GC"
-    g["unit_target_shape"] = (1, 1, 13, 13, 1)
-    proc = SRMDataProcessor(base_dir=str(tmp_path_factory.mktemp("gc13")),
-                            general_config=g)
-    proc.reservoir_config["Nx"] = proc.reservoir_config["Ny"] = 13
-    proc.reservoir_config["realizations"]["permx"]["number"] = 4
-    proc.reservoir_config["realizations"]["permx"]["conditional_values"] = {(5, 5, 0): 2.0}
-    for conn in proc.wells_config["connections"]:
-        conn["i"] = min(conn["i"] // 3, 12)
-        conn["j"] = min(conn["j"] // 3, 12)
-    _, tr, va, te, pr = proc.get_or_generate_training_data()
-    ds = DataSummary([proc.load_training_statistics()])
-    models, params = build_model_map(tr[0][0].shape, fluid_type="GC",
-                                     general_config=g,
-                                     reservoir_config=proc.reservoir_config,
-                                     wells_config=proc.wells_config, data_summary=ds)
-    return {"g": g, "proc": proc, "ds": ds, "models": models,
-            "params": params, "train_groups": tr}
-
-
 def test_pallas_gc_loss_matches_jnp_loss(gc13_case):
     """GC PhysicsLoss with use_pallas_stencil=True reproduces the jnp
     two-phase residual losses (interpret mode on CPU; Mosaic on TPU)."""
