@@ -78,6 +78,14 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
     # leaving pressure and all DG behavior unchanged), or "label_std"
     # (pure relative errors). See PhysicsLoss.td_normalization.
     "td_loss_normalization": None,
+    # GC dropout-focus weighting for the Sg td error: beta >= 0. Per-pixel
+    # weight 1 + beta*|Sg_label - Sgi|/mean(|Sg_label - Sgi|), renormalized
+    # to mean 1 so the term's overall scale is unchanged. Breaks the
+    # majority-at-Sgi pin: uniform Sg weighting only pushes the head harder
+    # toward the trivial predict-Sgi solution (measured, BASELINE.md round
+    # 3), because most cells never see condensate dropout; focus weighting
+    # shifts the label gradient onto the few localized dropout cells instead.
+    "sg_td_focus": None,
     # Fluid
     "fluid_type": "DG",
     "above_dew_point": True,

@@ -295,6 +295,12 @@ class PhysicsLoss:
         #   "label_std" — divide every label's error by its batch std
         #                 (pure relative errors; also rescales pressure).
         self.td_normalization = self.general_config.get("td_loss_normalization")
+        # dropout-focus weighting for the Sg td error (see
+        # config/defaults.py "sg_td_focus"): beta=0 disables; beta>0 tilts
+        # the per-pixel label gradient toward cells whose label departs from
+        # Sgi (condensate dropout), mean-1-normalized so the term scale and
+        # every td_normalization mode compose unchanged.
+        self.sg_td_focus = float(self.general_config.get("sg_td_focus") or 0.0)
         self.remat_forwards = bool(self.general_config.get("remat_forwards", False))
         self.dt_input_stride = int(self.general_config.get("dt_input_stride", 1) or 1)
         self.optimizer_model_names_map = (optimizer_model_names_map
@@ -966,6 +972,15 @@ class PhysicsLoss:
         elif self.td_normalization == "balance" and len(td_terms) > 1:
             td_terms = [td_terms[0]] + [
                 e * (td_stds[0] / s) for e, s in zip(td_terms[1:], td_stds[1:])]
+        if self.sg_td_focus > 0.0 and len(td_terms) > 1:
+            # per-pixel dropout focus on the Sg (2nd) label: w has mean 1 by
+            # construction, so the SSE scale — and thus any td_normalization
+            # rescaling above — is preserved; sqrt(w) because SSE squares it
+            sg_lab = jnp.reshape(labels[1], td_terms[1].shape)
+            dev = jnp.abs(sg_lab - self.Sgi)
+            rel = dev / jnp.maximum(jnp.mean(dev), 1e-12)
+            w = (1.0 + self.sg_td_focus * rel) / (1.0 + self.sg_td_focus)
+            td_terms[1] = td_terms[1] * jnp.sqrt(w)
 
         total = jnp.asarray(0.0, jnp.float32)
         aux: Dict[str, Dict[str, Array]] = {ph: {} for ph in phases}

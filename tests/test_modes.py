@@ -217,6 +217,74 @@ def test_td_normalization_balance_equalizes_gc_td_scales(gc13_case):
     assert norm(grads_bal["saturation"]) > 100.0 * norm(grads_raw["saturation"])
 
 
+def test_sg_td_focus_tilts_label_gradient_to_dropout_cells(gc13_case):
+    """``sg_td_focus``: per-pixel dropout-focus weighting of the Sg td error.
+
+    Properties pinned: (1) beta composes as a no-op when the label deviation
+    |Sg - Sgi| is spatially uniform (mean-1 normalization is exact); (2) for
+    localized dropout labels, the weighted Sg SSE strictly exceeds the raw
+    one (the untrained net predicts ~Sgi, so errors concentrate exactly where
+    the focus weight is largest — positive covariance); (3) the pressure td
+    term and every physics term are untouched."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    g0, proc, ds = gc13_case["g"], gc13_case["proc"], gc13_case["ds"]
+    models, params = gc13_case["models"], gc13_case["params"]
+
+    def mk(beta):
+        g = copy.deepcopy(g0)
+        g["physics_mode_fraction"] = 0.0       # td is the sole loss term
+        g["sg_td_focus"] = beta
+        return PhysicsLoss(models, ds, general_config=g,
+                           reservoir_config=proc.reservoir_config,
+                           wells_config=proc.wells_config, fluid_type="GC",
+                           use_pallas_stencil=False)
+
+    raw, foc = mk(None), mk(4.0)
+    sgi = float(raw.Sgi)
+    x, _ = gc13_case["train_groups"][0]
+    xb = jnp.asarray(x[0, 20:22])
+    shape = xb.shape[:-1] + (1,)
+    rng = np.random.RandomState(3)
+    p_lab = jnp.asarray(4000.0 + 150.0 * rng.randn(*shape))
+
+    # uniform deviation: every cell at Sgi - 0.03 -> focus must be a no-op
+    s_uni = jnp.full(shape, sgi - 0.03)
+    _, aux_r = raw.loss_and_metrics(params, xb, {"PRESSURE": p_lab, "SGAS": s_uni})
+    _, aux_f = foc.loss_and_metrics(params, xb, {"PRESSURE": p_lab, "SGAS": s_uni})
+    assert float(aux_f["oil"]["td"]) == pytest.approx(
+        float(aux_r["oil"]["td"]), rel=1e-5)
+
+    # localized dropout: a few cells well below Sgi, the rest at Sgi
+    s_loc = np.full(shape, sgi, np.float32)
+    s_loc[:, :, 3:5, 3:5, :] = sgi - 0.3
+    y_loc = {"PRESSURE": p_lab, "SGAS": jnp.asarray(s_loc)}
+    _, aux_r = raw.loss_and_metrics(params, xb, y_loc)
+    _, aux_f = foc.loss_and_metrics(params, xb, y_loc)
+    # exact decomposition: aux oil td == mean(w_pix * err^2) with
+    # w_pix = (1 + beta*dev/mean(dev)) / (1 + beta), dev = |lab - Sgi|,
+    # err from the model's own Sg output (identical params in both runs)
+    pred = np.asarray(aux_r["outputs"]["Sg_n0"]).reshape(s_loc.shape)
+    err2 = (pred - s_loc) ** 2
+    dev = np.abs(s_loc - sgi)
+    w = (1.0 + 4.0 * dev / dev.mean()) / (1.0 + 4.0)
+    assert w.mean() == pytest.approx(1.0, rel=1e-6)
+    assert float(aux_f["oil"]["td"]) == pytest.approx(
+        float(np.mean(w * err2)), rel=1e-4)
+    assert float(aux_r["oil"]["td"]) == pytest.approx(
+        float(np.mean(err2)), rel=1e-4)
+    # the dropout cells' share of the Sg label SSE rises under focus —
+    # the per-pixel gradient tilts onto the cells with real dropout signal
+    m = np.zeros_like(w, bool)
+    m[:, :, 3:5, 3:5, :] = True
+    share_raw = err2[m].sum() / err2.sum()
+    share_foc = (w * err2)[m].sum() / (w * err2).sum()
+    assert share_foc > share_raw
+    # pressure td untouched
+    assert float(aux_f["gas"]["td"]) == pytest.approx(
+        float(aux_r["gas"]["td"]), rel=1e-6)
+
+
 def test_validate_loss_keys(small_case):
     from srm_tpu.training.trainer import validate_loss_keys
     loss_fn = small_case["loss_fn"]
