@@ -22,6 +22,11 @@ def get_activation(act: Union[None, str, Callable]) -> Callable[[Array], Array]:
         "swish": nn.swish, "silu": nn.swish, "relu": nn.relu, "gelu": nn.gelu,
         "tanh": jnp.tanh, "sigmoid": nn.sigmoid, "linear": (lambda x: x),
         "softplus": nn.softplus, "elu": nn.elu, "leaky_relu": nn.leaky_relu,
+        # non-saturating rectifier for HardLayer departure heads: the
+        # zero-departure attractor sits at x=0 where |grad|=1, unlike
+        # softplus whose attractor is x→-inf where the gradient vanishes
+        # and the head dies permanently (measured: tools/sg_head_probe.py)
+        "abs": jnp.abs,
     }
     if name not in table:
         raise ValueError(f"Unknown activation: {act}")

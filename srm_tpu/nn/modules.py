@@ -167,7 +167,10 @@ def build_saturation_model(name: str = "saturation_model",
     hard = get_configuration("hard_layer")
     hard["init_value"] = 1.0 - scal["end_points"]["Swmin"]
     hard["kernel_activation"] = None
-    hard["input_activation"] = "softplus"
+    # Departure rectifier Sg = Sgi - alpha*act(net): softplus's zero-departure
+    # attractor is net -> -inf where the gradient dies permanently (measured:
+    # tools/sg_head_probe.py); "abs" keeps |grad|=1 at the attractor net=0.
+    hard["input_activation"] = g.get("sat_input_activation") or "softplus"
     hard["kernel_exponent_config"]["initial_value"] = 0.5
     hard["kernel_exponent_config"]["min_value"] = 0.1
     hard["kernel_exponent_config"]["max_value"] = 1.0

@@ -168,3 +168,36 @@ def test_build_model_map_dg():
     assert p.shape == (2, 1, 39, 39, 1)
     assert dt.shape == (2, 1, 39, 39, 1)
     assert pvt.shape == (2, 2, 2, 1, 39, 39, 1)
+
+
+def test_saturation_abs_rectifier_keeps_gradient_alive():
+    """GC saturation head: with ``sat_input_activation='abs'`` the departure
+    rectifier's zero-departure attractor sits at net=0 where |d act/d net|=1,
+    so the Sg-label gradient through the inner network cannot vanish the way
+    softplus's does at its net -> -inf attractor (tools/sg_head_probe.py
+    measured the shipped softplus head dead: grad ~1e-26 after 10 epochs)."""
+    import copy
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    from srm_tpu.nn.modules import build_saturation_model
+
+    g = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    g["sat_input_activation"] = "abs"
+    sat = build_saturation_model(general_config=g)
+    assert sat.hard_layer.input_activation == "abs"
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 39, 39, 5)) * 0.1
+    params = sat.init(jax.random.PRNGKey(0), x)
+    out = sat.apply(params, x)
+    assert out.shape == (2, 1, 39, 39, 1)
+
+    # label = a departure field; the grad through the inner net must be
+    # non-negligible even when the net output is near the attractor
+    lab = jnp.full_like(out, 0.5)
+
+    def sse(p):
+        return jnp.sum(jnp.square(sat.apply(p, x) - lab))
+
+    grads = jax.grad(sse)(params)
+    gsum = sum(float(jnp.sum(jnp.abs(l)))
+               for l in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 1e-3
