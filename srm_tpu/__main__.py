@@ -28,26 +28,42 @@ def cmd_generate_data(args):
 
 
 def cmd_train(args):
-    if args.fluid.upper() == "GC":
+    drawdown = getattr(args, "drawdown", False)
+    fluid = "GC" if drawdown else args.fluid.upper()
+    if fluid == "GC":
         from srm_tpu.examples.training_case_gas_condensate import setup_gas_condensate_case as setup
     else:
         from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case as setup
     from srm_tpu.training.trainer import train_combined_models_unified
 
     g = None
+    opt_cfgs = None
+    setup_kwargs = {}
     if getattr(args, "production", False):
         # measured-best TPU settings (bf16 nets + strided Δt input):
         # 2.9x the f32 dg3d step AND better converged RMSE (BASELINE.md r3)
         from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
         g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
+    if drawdown:
+        # measured-best GC below-dew-point recipe: mixed physics/data on FV
+        # labels, balanced td errors, 'abs' Sg rectifier, retuned LR decay,
+        # sub-dew-point Pi/BHP (12.9 psia / 0.0103 Sg RMSE — BASELINE.md)
+        from srm_tpu.config import (DEFAULT_GENERAL_CONFIG, GC_DRAWDOWN_CASE,
+                                    apply_drawdown_overrides,
+                                    drawdown_optimizer_configs)
+        g = apply_drawdown_overrides(g or DEFAULT_GENERAL_CONFIG)
+        opt_cfgs = drawdown_optimizer_configs()
+        setup_kwargs = dict(GC_DRAWDOWN_CASE)
     case = setup(base_dir=args.base_dir, nx=args.nx,
-                 n_realizations=args.realizations, general_config=g)
+                 n_realizations=args.realizations, general_config=g,
+                 **setup_kwargs)
     params, history, best = train_combined_models_unified(
         case["train_groups"], case["val_groups"], models=case["models"],
         params=case["params"], loss_fn=case["loss_fn"],
         training_batch_size=args.batch_size, epochs=args.epochs,
         general_config=case["general_config"],
-        checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        optimizer_configs=opt_cfgs)
     print("final total train loss:", history["total_train_loss"][-1])
     return 0
 
@@ -109,6 +125,12 @@ def main(argv=None):
     t.add_argument("--production", action="store_true",
                    help="apply the measured-best TPU settings "
                         "(bfloat16 nets, dt_input_stride=2)")
+    t.add_argument("--drawdown", action="store_true",
+                   help="apply the measured-best GC below-dew-point recipe "
+                        "(implies --fluid GC): mixed physics/data training "
+                        "on FV-simulator labels, balanced td errors, 'abs' "
+                        "Sg rectifier, retuned LR decay, Pi 4300 / BHP "
+                        "floor 2000 psia")
     t.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("predict", help="pressure rollout with the trained surrogate")

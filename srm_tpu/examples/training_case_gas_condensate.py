@@ -29,14 +29,17 @@ def setup_gas_condensate_case(base_dir: Optional[str] = None, nx: Optional[int] 
                               general_config: Optional[Dict] = None,
                               seed: Optional[int] = None, nz: Optional[int] = None,
                               kle_method: Optional[str] = None,
-                              use_pallas_stencil: Optional[bool] = None):
+                              use_pallas_stencil: Optional[bool] = None,
+                              pi: Optional[float] = None,
+                              min_bhp: Optional[float] = None):
     """Gas-condensate case bundle (see :func:`srm_tpu.examples.common.setup_case`)."""
     from srm_tpu.examples.common import setup_case
     return setup_case("GC", base_dir=base_dir, nx=nx,
                       n_realizations=n_realizations,
                       general_config=general_config, seed=seed, nz=nz,
                       kle_method=kle_method,
-                      use_pallas_stencil=use_pallas_stencil)
+                      use_pallas_stencil=use_pallas_stencil,
+                      pi=pi, min_bhp=min_bhp)
 
 
 def main(argv=None):

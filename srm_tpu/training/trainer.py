@@ -254,7 +254,7 @@ def train_combined_models_unified(
     log_variables_callback: Optional[Callable] = None,
     log_epoch_percentage: float = 0.2, mesh=None, seed: int = 0,
     checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
-    resume: bool = False,
+    resume: bool = False, optimizer_configs: Optional[Dict[str, Dict]] = None,
 ):
     """Full training driver; returns (params, history, best_model_variables).
 
@@ -270,7 +270,8 @@ def train_combined_models_unified(
     if train_groups:
         validate_loss_keys(train_groups[0][1], loss_fn.loss_keys, g)
 
-    trainer = Trainer(loss_fn, params, mesh=mesh)
+    trainer = Trainer(loss_fn, params, optimizer_configs=optimizer_configs,
+                      mesh=mesh)
     # one-time dataset upload: everything stays HBM-resident; epochs shuffle
     # and batch on device
     n_train_batches, _ = trainer.stage_dataset("train", train_groups, training_batch_size)

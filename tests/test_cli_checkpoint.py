@@ -37,3 +37,46 @@ def test_trainer_checkpoint_and_resume(tmp_path, dg9_case):
         checkpoint_dir=ckpt_dir, resume=True, log_epoch_percentage=0.0)
     assert len(hist2["total_train_loss"]) == 1
     assert np.isfinite(hist2["total_train_loss"][0])
+
+
+def test_drawdown_preset_config():
+    """The GC drawdown preset IS the measured recipe (BASELINE.md round-3
+    GC drawdown table): mixed physics/data on FV labels, balanced td
+    errors, the 'abs' Sg rectifier, retuned LR decay, sub-dew-point case."""
+    from srm_tpu.config import (DEFAULT_GENERAL_CONFIG, GC_DRAWDOWN_CASE,
+                                GC_DRAWDOWN_DECAY_STEPS,
+                                apply_drawdown_overrides,
+                                drawdown_optimizer_configs)
+
+    g = apply_drawdown_overrides(DEFAULT_GENERAL_CONFIG)
+    assert g["fluid_type"] == "GC"
+    assert g["label_source"] == "simulator"
+    assert g["physics_mode_fraction"] == 0.5
+    assert g["td_loss_normalization"] == "balance"
+    assert g["sat_input_activation"] == "abs"
+    # the input config is never mutated
+    assert DEFAULT_GENERAL_CONFIG["fluid_type"] == "DG"
+    assert DEFAULT_GENERAL_CONFIG.get("sat_input_activation") is None
+
+    assert GC_DRAWDOWN_CASE == {"pi": 4300.0, "min_bhp": 2000.0}
+    retuned = 0
+    for cfg in drawdown_optimizer_configs().values():
+        lr = cfg.get("exponential_decay", {}).get("learning_rate")
+        if lr and lr.get("enabled"):
+            assert lr["decay_steps"] == GC_DRAWDOWN_DECAY_STEPS
+            retuned += 1
+    assert retuned > 0
+
+
+def test_cli_train_drawdown(tmp_path, capsys):
+    """`srm_tpu train --drawdown` runs the full recipe end to end: GC fluid
+    forced, sub-dew-point FV labels simulated for every split, one mixed
+    physics/data epoch trains to a finite loss."""
+    from srm_tpu.__main__ import main
+
+    rc = main(["train", "--drawdown", "--nx", "9", "--realizations", "4",
+               "--epochs", "1", "--batch-size", "8",
+               "--base-dir", str(tmp_path)])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "final total train loss:" in out
