@@ -70,10 +70,26 @@ def cmd_train(args):
 
 def cmd_predict(args):
     import numpy as np
-    from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case
     from srm_tpu.eval.predictor import SRMPredictor
-    case = setup_dry_gas_case(base_dir=args.base_dir, nx=args.nx,
-                              n_realizations=args.realizations)
+
+    drawdown = getattr(args, "drawdown", False)
+    fluid = "GC" if drawdown else args.fluid.upper()
+    g = None
+    setup_kwargs = {}
+    if drawdown:
+        # mirror the --drawdown train preset so predict restores a
+        # checkpoint trained with it against the identical case
+        from srm_tpu.config import (DEFAULT_GENERAL_CONFIG, GC_DRAWDOWN_CASE,
+                                    apply_drawdown_overrides)
+        g = apply_drawdown_overrides(DEFAULT_GENERAL_CONFIG)
+        setup_kwargs = dict(GC_DRAWDOWN_CASE)
+    if fluid == "GC":
+        from srm_tpu.examples.training_case_gas_condensate import setup_gas_condensate_case as setup
+    else:
+        from srm_tpu.examples.training_case_dry_gas import setup_dry_gas_case as setup
+    case = setup(base_dir=args.base_dir, nx=args.nx,
+                 n_realizations=args.realizations, general_config=g,
+                 **setup_kwargs)
     if args.checkpoint_dir:
         from srm_tpu.utils.checkpoint import CheckpointManager
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -90,8 +106,14 @@ def cmd_predict(args):
     p = pred.predict_pressure(permx, times)
     print(f"pressure rollout: shape {p.shape}, range "
           f"[{p.min():.1f}, {p.max():.1f}] psia")
+    arrays = {"pressure": p, "times": np.asarray(times)}
+    if fluid == "GC":
+        sg = pred.predict_saturation(permx, times)
+        print(f"gas-saturation rollout: shape {sg.shape}, range "
+              f"[{sg.min():.4f}, {sg.max():.4f}]")
+        arrays["saturation"] = sg
     if args.out:
-        np.savez_compressed(args.out, pressure=p, times=np.asarray(times))
+        np.savez_compressed(args.out, **arrays)
         print(f"saved to {args.out}")
     return 0
 
@@ -133,7 +155,12 @@ def main(argv=None):
                         "floor 2000 psia")
     t.set_defaults(fn=cmd_train)
 
-    p = sub.add_parser("predict", help="pressure rollout with the trained surrogate")
+    p = sub.add_parser("predict", help="pressure (and, for GC, gas-saturation) "
+                                       "rollout with the trained surrogate")
+    p.add_argument("--fluid", default="DG", choices=["DG", "GC", "dg", "gc"])
+    p.add_argument("--drawdown", action="store_true",
+                   help="predict against the --drawdown train preset's case "
+                        "(implies --fluid GC, sub-dew-point Pi/BHP)")
     p.add_argument("--times", default="0,30,90,180,365")
     p.add_argument("--base-dir", default=None)
     p.add_argument("--nx", type=int, default=None)

@@ -199,6 +199,19 @@ class EncoderDecoderModel(nn.Module):
                 x = lat_act(nn.Dense(dtype=cdt, features=self.latent_width, kernel_init=init,
                                      name=f"latent_dense_{d}")(x))
 
+        # XLA:TPU miscompile guard: when the deconv chain will NOT land
+        # exactly on the target grid (small grids: 9→15, 13→23 — the bilinear
+        # resize path), the kernel XLA fuses across the latent→decoder
+        # boundary computes NaN on TPU v5e for some batch sizes (eager and
+        # CPU are clean; observed b∈{10,16} at 9², b=32 at 13²; repro:
+        # tools/tpu_fusion_nan_repro.py). One optimization_barrier here stops
+        # that fusion. Production grids (39²/39²×10) land exactly and keep
+        # full fusion — the guard is statically off for them.
+        pred_spatial = list(x.shape[1:-1])
+        for _ in range(self.depth - 1):
+            pred_spatial = [(s - 1) * 2 + k for s in pred_spatial]
+        if tuple(pred_spatial) != tuple(target_spatial):
+            x = jax.lax.optimization_barrier(x)
         # ---------------- decoder (ref DecoderLayer :316-735) ----------------
         innermost_skip = bool(self.skip_layers) and self.skip_layers[-1] == 1
         for i in range(self.depth):

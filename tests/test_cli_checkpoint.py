@@ -80,3 +80,24 @@ def test_cli_train_drawdown(tmp_path, capsys):
     assert rc in (0, None)
     out = capsys.readouterr().out
     assert "final total train loss:" in out
+
+
+def test_cli_predict_gc(tmp_path, capsys):
+    """`srm_tpu predict --fluid GC` rolls out BOTH heads — pressure and gas
+    saturation — and saves both arrays (the GC surrogate replaces the
+    two-phase simulator, so a pressure-only rollout would be half a result)."""
+    from srm_tpu.__main__ import main
+
+    out_npz = tmp_path / "pred.npz"
+    rc = main(["predict", "--fluid", "GC", "--nx", "9", "--realizations", "4",
+               "--max-realizations", "1", "--times", "0,30",
+               "--base-dir", str(tmp_path), "--out", str(out_npz)])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "pressure rollout:" in out
+    assert "gas-saturation rollout:" in out
+    data = np.load(out_npz)
+    assert set(data.files) >= {"pressure", "saturation", "times"}
+    assert data["pressure"].shape == data["saturation"].shape
+    assert np.all(np.isfinite(data["pressure"]))
+    assert np.all(np.isfinite(data["saturation"]))
