@@ -140,13 +140,53 @@ def build_problem(reservoir_config: Dict, wells_config: Dict, scal_config: Dict,
     return prob, kscale
 
 
+# grids at or below this cell count use the dense MXU solve; larger grids
+# (3D: 39×39×10 = 15,210 cells → a 0.9 GB dense matrix per realization)
+# switch to the matrix-free iterative path
+_DENSE_MAX_CELLS = 4096
+
+
+def _face_apply(x: Array, i1: Array, i2: Array, Tf: Array) -> Array:
+    """Matrix-free application of the FV flux operator: (F x)_i = Σ_faces
+    Tf·(x_i − x_j) — the off-diagonal scatter the dense path assembles."""
+    d = Tf * (x[i1] - x[i2])
+    return jnp.zeros_like(x).at[i1].add(d).at[i2].add(-d)
+
+
+def _face_diag(n: int, i1: Array, i2: Array, Tf: Array) -> Array:
+    """Diagonal of the flux operator (for the Jacobi preconditioner)."""
+    return jnp.zeros((n,), Tf.dtype).at[i1].add(Tf).at[i2].add(Tf)
+
+
+def _resolve_solver(solver: str, n_cells: int) -> bool:
+    """True → dense (one ``jnp.linalg.solve`` per sweep), False → matrix-free
+    iterative (Jacobi-preconditioned CG / BiCGStab). ``'auto'`` picks dense
+    for small grids — it is a single fused MXU op there — and iterative once
+    the dense matrix would dominate HBM."""
+    if solver == "dense":
+        return True
+    if solver in ("cg", "iterative", "bicgstab"):
+        return False
+    if solver != "auto":
+        raise ValueError(f"unknown solver {solver!r}")
+    return n_cells <= _DENSE_MAX_CELLS
+
+
 def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Array,
-                     pvt_fn: Callable[[Array], Array], n_picard: int = 6) -> Array:
+                     pvt_fn: Callable[[Array], Array], n_picard: int = 6,
+                     solver: str = "auto") -> Array:
     """Pressure snapshots (T, N) for one realization.
 
     ``kx`` — (N,) unnormalized permeability (flattened feature order z,y,x);
     ``times`` — (T,) days, strictly increasing, ``times[0]`` is the initial
     condition time (p = Pi); ``pvt_fn(p) → [2, P, ...]`` as the PVT layer.
+
+    ``solver`` — ``'dense'`` | ``'cg'`` | ``'auto'``. The pressure system is
+    symmetric positive definite (flux Laplacian + positive accumulation
+    diagonal), so the iterative path is Jacobi-preconditioned conjugate
+    gradients on the matrix-free face operator — O(F) memory instead of the
+    dense path's O(N²), which is what makes reference-scale 3D grids
+    (39×39×10) tractable on one chip.
     """
     N = kx.shape[0]
     i1 = jnp.asarray(prob.face_pairs[:, 0])
@@ -168,7 +208,8 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
         dinvBg = out[1, 0]
         return invBg, invug, dinvBg
 
-    eye = jnp.eye(N, dtype=jnp.float32)
+    dense = _resolve_solver(solver, N)
+    eye = jnp.eye(N, dtype=jnp.float32) if dense else None
 
     def step(p_n, t_pair):
         t0, t1 = t_pair
@@ -184,9 +225,10 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
             # face mobility: arithmetic average of invBg·invug (as the loss)
             lam = prob.krgo * 0.5 * ((invBg * invug)[i1] + (invBg * invug)[i2])
             Tf = G * lam                                        # (F,)
-            A = (jnp.zeros((N, N), jnp.float32)
-                 .at[i1, i1].add(Tf).at[i2, i2].add(Tf)
-                 .at[i1, i2].add(-Tf).at[i2, i1].add(-Tf))
+            if dense:
+                A = (jnp.zeros((N, N), jnp.float32)
+                     .at[i1, i1].add(Tf).at[i2, i2].add(Tf)
+                     .at[i1, i2].add(-Tf).at[i2, i1].add(-Tf))
             # accumulation: chord-slope ΔinvBg/Δp + rock compressibility
             dp = p - p_n
             chord = jnp.where(jnp.abs(dp) > 1e-3, (invBg - invBg_n) / dp, dinvBg_n)
@@ -197,8 +239,14 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
             q_max = ck * mg_w * jnp.maximum(p[wc] - pwf_min, 0.0)
             q_w = open_mask * jnp.where(q_t >= 0.0, jnp.minimum(q_t, q_max), q_t)
             b = acc * p_n - jnp.zeros((N,), jnp.float32).at[wc].add(q_w)
-            A = A + acc[:, None] * eye
-            return jnp.linalg.solve(A, b)
+            if dense:
+                A = A + acc[:, None] * eye
+                return jnp.linalg.solve(A, b)
+            mv = lambda x: acc * x + _face_apply(x, i1, i2, Tf)     # noqa: E731
+            diag = acc + _face_diag(N, i1, i2, Tf)
+            sol, _ = jax.scipy.sparse.linalg.cg(
+                mv, b, x0=p, tol=1e-7, maxiter=1000, M=lambda x: x / diag)
+            return sol
 
         p1 = jax.lax.fori_loop(0, n_picard, picard, p_n)
         return p1, p1
@@ -211,7 +259,8 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
 
 def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
                             times: Array, pvt_fn: Callable[[Array], Array],
-                            relperm, Swmin: float, n_newton: int = 8) -> Array:
+                            relperm, Swmin: float, n_newton: int = 8,
+                            solver: str = "auto") -> Array:
     """Two-phase (gas-condensate) snapshots ``(T, N, 2)`` — (p, Sg) — for one
     realization.
 
@@ -234,8 +283,10 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
     Solver: backward-Euler, full Newton on the accumulation terms with
     Picard-lagged flux transmissibilities; the saturation unknown is
     eliminated per cell via the diagonal Schur complement (∂R/∂Sg is purely
-    local), so each iteration is ONE dense (N, N) solve — the same
-    MXU-friendly shape as the dry-gas path.
+    local), so each iteration is ONE linear solve in δp. ``solver`` as in
+    :func:`simulate_dry_gas`, except the Schur matrix is nonsymmetric (the
+    row scaling ``r``), so the iterative path uses Jacobi-preconditioned
+    BiCGStab on the matrix-free face operators instead of CG.
     """
     N = kx.shape[0]
     i1 = jnp.asarray(prob.face_pairs[:, 0])
@@ -256,7 +307,8 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
         out = pvt_fn(p)                    # [2, 7, N]: values / dP derivatives
         return out[0], out[1]
 
-    eye = jnp.eye(N, dtype=jnp.float32)
+    dense = _resolve_solver(solver, N)
+    eye = jnp.eye(N, dtype=jnp.float32) if dense else None
 
     def assemble(Tf):
         return (jnp.zeros((N, N), jnp.float32)
@@ -302,8 +354,14 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
                      + krog_f * 0.5 * (rsbouo[i1] + rsbouo[i2]))
             lam_o = (krog_f * 0.5 * (bouo[i1] + bouo[i2])
                      + krgo_f * 0.5 * (rvbgug[i1] + rvbgug[i2]))
-            Fg = assemble(G * lam_g)
-            Fo = assemble(G * lam_o)
+            Tg, To = G * lam_g, G * lam_o
+            if dense:
+                Fg, Fo = assemble(Tg), assemble(To)
+                fg_apply = lambda x: Fg @ x                      # noqa: E731
+                fo_apply = lambda x: Fo @ x                      # noqa: E731
+            else:
+                fg_apply = lambda x: _face_apply(x, i1, i2, Tg)  # noqa: E731
+                fo_apply = lambda x: _face_apply(x, i1, i2, To)  # noqa: E731
 
             # wells: surface-gas-rate control, min-BHP drawdown clip; the oil
             # rate follows the phase mobility ratio at the well cell
@@ -318,8 +376,8 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
             # accumulations with rock compressibility φ(p) = φ0·(1+cf·(p−p_n))
             phi_p = phi0 * (1.0 + cf_const * (p - p_n))
             ug, uo = unit_masses(vals, Sg)
-            Rg = c * (phi_p * ug - phi0 * ug_n) + Fg @ p + qg_cell
-            Ro = c * (phi_p * uo - phi0 * uo_n) + Fo @ p + qo_cell
+            Rg = c * (phi_p * ug - phi0 * ug_n) + fg_apply(p) + qg_cell
+            Ro = c * (phi_p * uo - phi0 * uo_n) + fo_apply(p) + qo_cell
 
             dug_dp = dinvBg * Sg + (dRs * invBo + Rs * dinvBo) * So
             duo_dp = dinvBo * So + (dRv * invBg + Rv * dinvBg) * Sg
@@ -332,12 +390,21 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
 
             # Schur complement: eliminate the (diagonal) δSg block
             r = dAg_dS / jnp.where(jnp.abs(dAo_dS) > 1e-30, dAo_dS, -1e-30)
-            Jgp = Fg + dAg_dp[:, None] * eye
-            Jop = Fo + dAo_dp[:, None] * eye
-            S = Jgp - r[:, None] * Jop
+            jop_apply = lambda x: fo_apply(x) + dAo_dp * x       # noqa: E731
             rhs = -Rg + r * Ro
-            dp = jnp.linalg.solve(S, rhs)
-            dSg = (-Ro - Jop @ dp) / jnp.where(
+            if dense:
+                S = (Fg + dAg_dp[:, None] * eye) - r[:, None] * (
+                    Fo + dAo_dp[:, None] * eye)
+                dp = jnp.linalg.solve(S, rhs)
+            else:
+                s_apply = lambda x: (fg_apply(x) + dAg_dp * x    # noqa: E731
+                                     - r * jop_apply(x))
+                s_diag = (_face_diag(N, i1, i2, Tg) + dAg_dp
+                          - r * (_face_diag(N, i1, i2, To) + dAo_dp))
+                dp, _ = jax.scipy.sparse.linalg.bicgstab(
+                    s_apply, rhs, tol=1e-7, maxiter=1000,
+                    M=lambda x: x / s_diag)
+            dSg = (-Ro - jop_apply(dp)) / jnp.where(
                 jnp.abs(dAo_dS) > 1e-30, dAo_dS, -1e-30)
             p_new = jnp.clip(p + dp, 14.7, 1e4)
             Sg_new = jnp.clip(Sg + dSg, 0.0, Sgi)
@@ -356,18 +423,20 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
 
 def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
                           times: Array, pvt_fn, n_picard: int = 6,
-                          chunk: int = 16) -> Array:
+                          chunk: int = 16, solver: str = "auto") -> Array:
     """vmap over realizations: (K, Nz, Ny, Nx) × (T,) → (K, T, Nz, Ny, Nx).
 
-    Realizations run in chunks of ``chunk``: each Picard iteration holds a
-    dense (chunk, N, N) system plus its LU workspace, so vmapping the whole
-    batch at once scales HBM as K·N² and crashes one chip already at
-    K=140, N=1521.
+    Realizations run in chunks of ``chunk``: each dense Picard iteration
+    holds a (chunk, N, N) system plus its LU workspace, so vmapping the
+    whole batch at once scales HBM as K·N² and crashes one chip already at
+    K=140, N=1521. (The iterative path is O(F) per realization and keeps
+    the same chunking only to bound compile shapes.)
     """
     K = kx_fields.shape[0]
     flat = jnp.asarray(kx_fields.reshape(K, -1))
     sim = jax.jit(jax.vmap(
-        lambda k: simulate_dry_gas(prob, kscale, k, times, pvt_fn, n_picard)))
+        lambda k: simulate_dry_gas(prob, kscale, k, times, pvt_fn, n_picard,
+                                   solver=solver)))
     outs = []
     for s in range(0, K, chunk):
         block = flat[s:s + chunk]
@@ -385,7 +454,8 @@ def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
 def simulate_realizations_gc(prob: FVProblem, kscale: np.ndarray,
                              kx_fields: Array, times: Array, pvt_fn, relperm,
                              Swmin: float, n_newton: int = 8,
-                             chunk: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+                             chunk: int = 8,
+                             solver: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
     """GC vmap over realizations → (P, Sg), each ``(K, T, Nz, Ny, Nx)``.
 
     Chunked like :func:`simulate_realizations` (each Newton sweep holds two
@@ -396,7 +466,8 @@ def simulate_realizations_gc(prob: FVProblem, kscale: np.ndarray,
     flat = jnp.asarray(kx_fields.reshape(K, -1))
     sim = jax.jit(jax.vmap(
         lambda k: simulate_gas_condensate(prob, kscale, k, times, pvt_fn,
-                                          relperm, Swmin, n_newton)))
+                                          relperm, Swmin, n_newton,
+                                          solver=solver)))
     outs = []
     for s in range(0, K, chunk):
         block = flat[s:s + chunk]
