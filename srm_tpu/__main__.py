@@ -4,6 +4,7 @@
     python -m srm_tpu train --fluid DG|GC [--epochs N] [--batch-size B]
                             [--checkpoint-dir DIR] [--resume] [--nx N]
     python -m srm_tpu predict --times 0,10,50 [--realizations K] [--out FILE]
+    python -m srm_tpu export --out-dir DIR [--checkpoint-dir DIR]
     python -m srm_tpu benchmark
 
 (The reference had no CLI at all — its only entry point was running the
@@ -68,8 +69,9 @@ def cmd_train(args):
     return 0
 
 
-def cmd_predict(args):
-    import numpy as np
+def _restore_predictor(args):
+    """Shared by predict/export: rebuild the case (mirroring any --drawdown
+    preset), restore the checkpoint, return (predictor, case, fluid)."""
     from srm_tpu.eval.predictor import SRMPredictor
 
     drawdown = getattr(args, "drawdown", False)
@@ -99,6 +101,13 @@ def cmd_predict(args):
     pred = SRMPredictor(case["models"], case["params"], case["data_summary"],
                         general_config=case["general_config"],
                         reservoir_config=case["processor"].reservoir_config)
+    return pred, case, fluid
+
+
+def cmd_predict(args):
+    import numpy as np
+
+    pred, case, fluid = _restore_predictor(args)
     permx = case["processor"].generate_kle_splits()["test"]
     if args.max_realizations:
         permx = permx[: args.max_realizations]
@@ -115,6 +124,21 @@ def cmd_predict(args):
     if args.out:
         np.savez_compressed(args.out, **arrays)
         print(f"saved to {args.out}")
+    return 0
+
+
+def cmd_export(args):
+    from srm_tpu.eval.serving import export_surrogate
+
+    pred, _, fluid = _restore_predictor(args)
+    fields = ("pressure", "saturation") if fluid == "GC" else ("pressure",)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    paths = export_surrogate(pred, args.out_dir, fields=fields,
+                             platforms=platforms)
+    for field, path in paths.items():
+        print(f"exported {field}: {path}")
+    print(f"serving bundle written to {args.out_dir} "
+          f"(platforms: {', '.join(platforms)})")
     return 0
 
 
@@ -169,6 +193,22 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_predict)
+
+    e = sub.add_parser("export", help="serialize the trained surrogate as a "
+                                      "StableHLO serving bundle (jax.export; "
+                                      "loads with no model/config code)")
+    e.add_argument("--fluid", default="DG", choices=["DG", "GC", "dg", "gc"])
+    e.add_argument("--drawdown", action="store_true",
+                   help="export against the --drawdown train preset's case")
+    e.add_argument("--base-dir", default=None)
+    e.add_argument("--nx", type=int, default=None)
+    e.add_argument("--realizations", type=int, default=None)
+    e.add_argument("--checkpoint-dir", default=None)
+    e.add_argument("--out-dir", required=True)
+    e.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering platforms baked into the "
+                        "artifact (default: cpu,tpu)")
+    e.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("benchmark", help="one-line JSON throughput benchmark")
     b.set_defaults(fn=cmd_benchmark)

@@ -18,6 +18,7 @@ import copy
 import json
 import logging
 import os
+import zipfile
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -296,10 +297,20 @@ class SRMDataProcessor:
         by config hash (ref srm_data_processing.py:877-905)."""
         path = self._cache_path()
         if os.path.exists(path):
-            with np.load(path, allow_pickle=True) as z:
-                payload = z["payload"].item()
-            return (path, payload["train"], payload["val"], payload["test"], payload["pred"])
+            try:
+                with np.load(path, allow_pickle=True) as z:
+                    payload = z["payload"].item()
+                return (path, payload["train"], payload["val"], payload["test"],
+                        payload["pred"])
+            except (zipfile.BadZipFile, OSError, KeyError, EOFError) as e:
+                # a killed writer can leave a truncated npz — regenerate
+                log.warning("dataset cache %s unreadable (%s); regenerating",
+                            path, e)
+                os.remove(path)
         tr, va, te, pr, stats, _ = self.process_data()
         payload = {"train": tr, "val": va, "test": te, "pred": pr}
-        np.savez_compressed(path, payload=np.array(payload, dtype=object))
+        # atomic publish: never let a crash mid-write leave a truncated cache
+        tmp = path + ".tmp.npz"      # np.savez appends .npz to other suffixes
+        np.savez_compressed(tmp, payload=np.array(payload, dtype=object))
+        os.replace(tmp, path)
         return path, tr, va, te, pr

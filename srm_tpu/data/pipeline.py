@@ -271,7 +271,10 @@ def save_results(results: Dict[str, np.ndarray], output_folder: str,
     """Save combined npz + per-key stats summary.json (ref :672-738)."""
     os.makedirs(output_folder, exist_ok=True)
     path = os.path.join(output_folder, combined_filename)
-    np.savez_compressed(path, **results)
+    # atomic publish (a killed writer must not leave a truncated npz)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **results)
+    os.replace(tmp, path)
     summary = {k: {"shape": list(v.shape), "min": float(np.nanmin(v)), "max": float(np.nanmax(v)),
                    "mean": float(np.nanmean(v)), "std": float(np.nanstd(v))}
                for k, v in results.items()}

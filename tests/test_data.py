@@ -114,3 +114,12 @@ def test_dataset_end_to_end_small(tmp_path):
     path2, tr2, *_ = proc.get_or_generate_training_data()
     assert path2 == path
     np.testing.assert_allclose(tr2[0][0], f)
+    # a killed writer's truncated cache must regenerate, not crash
+    with open(path, "wb") as fh:
+        fh.write(b"PK\x03\x04 truncated")
+    path3, tr3, *_ = proc.get_or_generate_training_data()
+    assert path3 == path
+    np.testing.assert_allclose(tr3[0][0], f)
+    # and the regenerated file is a valid npz again
+    import zipfile
+    assert zipfile.ZipFile(path).namelist()
