@@ -36,6 +36,8 @@ from srm_tpu.utils.stats import DataSummary, compute_statistics
 
 log = logging.getLogger(__name__)
 
+from contextlib import nullcontext as _nullcontext  # noqa: E402
+
 FEATURE_KEYS = ["z", "y", "x", "time", "permx"]  # woven channel order
 
 
@@ -264,8 +266,19 @@ class SRMDataProcessor:
         stats_idx = np.stack([np.arange(5), np.arange(5)])
 
         def norm(f):
-            return np.asarray(summary.normalize(f, norm_config=norm_config,
-                                                statistics_index=stats_idx, compute=True))
+            # host-side: the woven splits reach GBs at 3D reference scale —
+            # normalization is a trivial bandwidth-bound map, so shipping it
+            # to an accelerator (and holding 3+ copies in HBM) is pure loss
+            import jax
+            try:
+                cpu = jax.local_devices(backend="cpu")
+            except RuntimeError:
+                cpu = []
+            ctx = jax.default_device(cpu[0]) if cpu else _nullcontext()
+            with ctx:
+                return np.asarray(summary.normalize(
+                    f, norm_config=norm_config, statistics_index=stats_idx,
+                    compute=True))
 
         groups = {}
         for s in self.split_keys:

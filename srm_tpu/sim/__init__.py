@@ -9,6 +9,7 @@ simulator binary).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -58,9 +59,19 @@ def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
                                  DEFAULT_SCAL_CONFIG, processor.general_config)
     log.info("FV simulator (%s): %d realizations × %d times on grid %s",
              fluid, permx.shape[0], times.size, prob.shape)
+    # per-dispatch tuning for large grids (each chunk is one device program;
+    # smaller chunks bound its runtime/footprint on fault-prone links)
+    kwargs: Dict = {"solver": os.environ.get("SRM_TPU_SIM_SOLVER", "auto")}
+    if os.environ.get("SRM_TPU_SIM_CHUNK"):
+        kwargs["chunk"] = int(os.environ["SRM_TPU_SIM_CHUNK"])
+    if os.environ.get("SRM_TPU_SIM_TOL"):
+        kwargs["cg_tol"] = float(os.environ["SRM_TPU_SIM_TOL"])
+    if os.environ.get("SRM_TPU_SIM_MAXITER"):
+        kwargs["cg_maxiter"] = int(os.environ["SRM_TPU_SIM_MAXITER"])
     if fluid == "DG":
         p = simulate_realizations(prob, kscale, np.asarray(permx, np.float32),
-                                  np.asarray(times, np.float32), pvt_fn)
+                                  np.asarray(times, np.float32), pvt_fn,
+                                  **kwargs)
         return {"PRESSURE": np.asarray(p)}
     from srm_tpu.physics.relperm import RelativePermeability
     scal = DEFAULT_SCAL_CONFIG
@@ -69,5 +80,5 @@ def simulate_labels(processor, split: str, permx: Optional[np.ndarray] = None,
     p, sg = simulate_realizations_gc(
         prob, kscale, np.asarray(permx, np.float32),
         np.asarray(times, np.float32), pvt_fn, relperm,
-        Swmin=scal["end_points"]["Swmin"])
+        Swmin=scal["end_points"]["Swmin"], **kwargs)
     return {"PRESSURE": np.asarray(p), "SGAS": np.asarray(sg)}

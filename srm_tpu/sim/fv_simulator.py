@@ -158,6 +158,158 @@ def _face_diag(n: int, i1: Array, i2: Array, Tf: Array) -> Array:
     return jnp.zeros((n,), Tf.dtype).at[i1].add(Tf).at[i2].add(Tf)
 
 
+def _split_face_grids(Gflat: Array, shape: Tuple[int, int, int]):
+    """Split the flat face array (x-, y-, z-face blocks in ``_build_faces``
+    order) into per-axis grids ``Gx (Nz,Ny,Nx-1) / Gy (Nz,Ny-1,Nx) /
+    Gz (Nz-1,Ny,Nx)`` (``None`` for absent axes).
+
+    The structured form lets the iterative solver apply the flux operator as
+    shifted slices + pads — dense vector ops the TPU executes at bandwidth —
+    instead of gather/scatter over a face list (latency-bound: measured
+    ~2 ms/CG-iteration scatter vs ~40 µs structured on one v5e chip)."""
+    Nz, Ny, Nx = shape
+    out = []
+    off = 0
+    for cnt, gshape in (((Nx - 1) * Ny * Nz, (Nz, Ny, Nx - 1)),
+                        ((Ny - 1) * Nx * Nz, (Nz, Ny - 1, Nx)),
+                        ((Nz - 1) * Ny * Nx, (Nz - 1, Ny, Nx))):
+        if gshape[0] and gshape[1] and gshape[2]:
+            out.append(Gflat[off:off + cnt].reshape(gshape))
+            off += cnt
+        else:
+            out.append(None)
+    return tuple(out)
+
+
+def _axis_avg(m3: Array):
+    """Arithmetic face averages of a cell field along x/y/z."""
+    return (0.5 * (m3[:, :, :-1] + m3[:, :, 1:]) if m3.shape[2] > 1 else None,
+            0.5 * (m3[:, :-1, :] + m3[:, 1:, :]) if m3.shape[1] > 1 else None,
+            0.5 * (m3[:-1, :, :] + m3[1:, :, :]) if m3.shape[0] > 1 else None)
+
+
+def _axis_upstream(v3: Array, p3: Array):
+    """Per-axis upstream select of cell field ``v3`` by the pressure rise
+    direction (matches the flat-face convention: take the higher-pressure
+    side)."""
+    vx = (jnp.where(p3[:, :, 1:] > p3[:, :, :-1], v3[:, :, 1:], v3[:, :, :-1])
+          if v3.shape[2] > 1 else None)
+    vy = (jnp.where(p3[:, 1:, :] > p3[:, :-1, :], v3[:, 1:, :], v3[:, :-1, :])
+          if v3.shape[1] > 1 else None)
+    vz = (jnp.where(p3[1:, :, :] > p3[:-1, :, :], v3[1:, :, :], v3[:-1, :, :])
+          if v3.shape[0] > 1 else None)
+    return vx, vy, vz
+
+
+def _stencil_apply(x3: Array, Tx, Ty, Tz) -> Array:
+    """(F x)(cell) = Σ_faces T·(x_cell − x_neighbor), structured form."""
+    out = jnp.zeros_like(x3)
+    if Tx is not None:
+        d = Tx * (x3[:, :, :-1] - x3[:, :, 1:])
+        out = out + jnp.pad(d, ((0, 0), (0, 0), (0, 1)))
+        out = out - jnp.pad(d, ((0, 0), (0, 0), (1, 0)))
+    if Ty is not None:
+        d = Ty * (x3[:, :-1, :] - x3[:, 1:, :])
+        out = out + jnp.pad(d, ((0, 0), (0, 1), (0, 0)))
+        out = out - jnp.pad(d, ((0, 0), (1, 0), (0, 0)))
+    if Tz is not None:
+        d = Tz * (x3[:-1, :, :] - x3[1:, :, :])
+        out = out + jnp.pad(d, ((0, 1), (0, 0), (0, 0)))
+        out = out - jnp.pad(d, ((1, 0), (0, 0), (0, 0)))
+    return out
+
+
+def _stencil_diag(shape, Tx, Ty, Tz) -> Array:
+    """Diagonal of the structured flux operator."""
+    out = jnp.zeros(shape, Tx.dtype if Tx is not None else jnp.float32)
+    if Tx is not None:
+        out = out + jnp.pad(Tx, ((0, 0), (0, 0), (0, 1)))
+        out = out + jnp.pad(Tx, ((0, 0), (0, 0), (1, 0)))
+    if Ty is not None:
+        out = out + jnp.pad(Ty, ((0, 0), (0, 1), (0, 0)))
+        out = out + jnp.pad(Ty, ((0, 0), (1, 0), (0, 0)))
+    if Tz is not None:
+        out = out + jnp.pad(Tz, ((0, 1), (0, 0), (0, 0)))
+        out = out + jnp.pad(Tz, ((1, 0), (0, 0), (0, 0)))
+    return out
+
+
+def _pcg_fixed(mv, b: Array, x0: Array, diag: Array, iters: int,
+               tol: float) -> Array:
+    """Jacobi-preconditioned CG with a FIXED trip count (``lax.fori_loop``).
+
+    TPU-idiomatic replacement for ``jax.scipy.sparse.linalg.cg``: no dynamic
+    ``while_loop`` (static control flow compiles to one unrolled-schedulable
+    loop and keeps per-dispatch wall time bounded and batch-independent under
+    ``vmap``). Convergence is handled by masking: once ``‖r‖ ≤ tol·‖b‖`` the
+    step sizes are zeroed, so extra trips are no-ops.
+    """
+    bnorm2 = jnp.dot(b, b)
+    thresh2 = (tol * tol) * bnorm2
+
+    def body(_, state):
+        x, r, z, p, rz = state
+        done = jnp.dot(r, r) <= thresh2
+        Ap = mv(p)
+        denom = jnp.dot(p, Ap)
+        alpha = jnp.where(done | (jnp.abs(denom) < 1e-30), 0.0, rz / denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r / diag
+        rz_new = jnp.dot(r, z)
+        beta = jnp.where(jnp.abs(rz) < 1e-30, 0.0, rz_new / rz)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    r0 = b - mv(x0)
+    z0 = r0 / diag
+    state = (x0, r0, z0, z0, jnp.dot(r0, z0))
+    x, *_ = jax.lax.fori_loop(0, iters, body, state)
+    return x
+
+
+def _bicgstab_fixed(mv, b: Array, x0: Array, diag: Array, iters: int,
+                    tol: float) -> Array:
+    """Jacobi-preconditioned BiCGStab with a fixed trip count (masked
+    convergence), for the nonsymmetric GC Schur complement. Same rationale
+    as :func:`_pcg_fixed`."""
+    bnorm2 = jnp.dot(b, b)
+    thresh2 = (tol * tol) * bnorm2
+    eps = 1e-30
+
+    def prec(x):
+        return x / diag
+
+    def body(_, state):
+        x, r, rhat, p, v, rho, alpha, omega = state
+        done = jnp.dot(r, r) <= thresh2
+        rho_new = jnp.dot(rhat, r)
+        beta = jnp.where(jnp.abs(rho * omega) < eps, 0.0,
+                         (rho_new / jnp.where(jnp.abs(rho) < eps, eps, rho))
+                         * (alpha / jnp.where(jnp.abs(omega) < eps, eps, omega)))
+        p = r + beta * (p - omega * v)
+        phat = prec(p)
+        v = mv(phat)
+        denom = jnp.dot(rhat, v)
+        alpha_new = jnp.where(done | (jnp.abs(denom) < eps), 0.0,
+                              rho_new / denom)
+        s = r - alpha_new * v
+        shat = prec(s)
+        t = mv(shat)
+        tt = jnp.dot(t, t)
+        omega_new = jnp.where(done | (tt < eps), 0.0, jnp.dot(t, s) / tt)
+        x = x + alpha_new * phat + omega_new * shat
+        r = s - omega_new * t
+        return x, r, rhat, p, v, rho_new, alpha_new, omega_new
+
+    r0 = b - mv(x0)
+    state = (x0, r0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+             jnp.asarray(1.0, b.dtype), jnp.asarray(1.0, b.dtype),
+             jnp.asarray(1.0, b.dtype))
+    x, *_ = jax.lax.fori_loop(0, iters, body, state)
+    return x
+
+
 def _resolve_solver(solver: str, n_cells: int) -> bool:
     """True → dense (one ``jnp.linalg.solve`` per sweep), False → matrix-free
     iterative (Jacobi-preconditioned CG / BiCGStab). ``'auto'`` picks dense
@@ -174,7 +326,8 @@ def _resolve_solver(solver: str, n_cells: int) -> bool:
 
 def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Array,
                      pvt_fn: Callable[[Array], Array], n_picard: int = 6,
-                     solver: str = "auto") -> Array:
+                     solver: str = "auto", cg_tol: float = 1e-7,
+                     cg_maxiter: int = 1000) -> Array:
     """Pressure snapshots (T, N) for one realization.
 
     ``kx`` — (N,) unnormalized permeability (flattened feature order z,y,x);
@@ -210,6 +363,8 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
 
     dense = _resolve_solver(solver, N)
     eye = jnp.eye(N, dtype=jnp.float32) if dense else None
+    if not dense:
+        Gx, Gy, Gz = _split_face_grids(G, prob.shape)
 
     def step(p_n, t_pair):
         t0, t1 = t_pair
@@ -223,12 +378,20 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
         def picard(_, p):
             invBg, invug, _ = pvt_props(p)
             # face mobility: arithmetic average of invBg·invug (as the loss)
-            lam = prob.krgo * 0.5 * ((invBg * invug)[i1] + (invBg * invug)[i2])
-            Tf = G * lam                                        # (F,)
             if dense:
+                lam = prob.krgo * 0.5 * ((invBg * invug)[i1]
+                                         + (invBg * invug)[i2])
+                Tf = G * lam                                    # (F,)
                 A = (jnp.zeros((N, N), jnp.float32)
                      .at[i1, i1].add(Tf).at[i2, i2].add(Tf)
                      .at[i1, i2].add(-Tf).at[i2, i1].add(-Tf))
+            else:
+                # structured form: face grids, no gather/scatter on the hot path
+                m3 = (invBg * invug).reshape(prob.shape)
+                mx, my, mz = _axis_avg(m3)
+                Tx = Gx * (prob.krgo * mx) if Gx is not None else None
+                Ty = Gy * (prob.krgo * my) if Gy is not None else None
+                Tz = Gz * (prob.krgo * mz) if Gz is not None else None
             # accumulation: chord-slope ΔinvBg/Δp + rock compressibility
             dp = p - p_n
             chord = jnp.where(jnp.abs(dp) > 1e-3, (invBg - invBg_n) / dp, dinvBg_n)
@@ -242,11 +405,11 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
             if dense:
                 A = A + acc[:, None] * eye
                 return jnp.linalg.solve(A, b)
-            mv = lambda x: acc * x + _face_apply(x, i1, i2, Tf)     # noqa: E731
-            diag = acc + _face_diag(N, i1, i2, Tf)
-            sol, _ = jax.scipy.sparse.linalg.cg(
-                mv, b, x0=p, tol=1e-7, maxiter=1000, M=lambda x: x / diag)
-            return sol
+            mv = lambda x: acc * x + _stencil_apply(             # noqa: E731
+                x.reshape(prob.shape), Tx, Ty, Tz).reshape(-1)
+            diag = acc + _stencil_diag(prob.shape, Tx, Ty, Tz).reshape(-1)
+            return _pcg_fixed(mv, b, x0=p, diag=diag,
+                              iters=cg_maxiter, tol=cg_tol)
 
         p1 = jax.lax.fori_loop(0, n_picard, picard, p_n)
         return p1, p1
@@ -260,7 +423,8 @@ def simulate_dry_gas(prob: FVProblem, kscale: np.ndarray, kx: Array, times: Arra
 def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
                             times: Array, pvt_fn: Callable[[Array], Array],
                             relperm, Swmin: float, n_newton: int = 8,
-                            solver: str = "auto") -> Array:
+                            solver: str = "auto", cg_tol: float = 1e-7,
+                            cg_maxiter: int = 1000) -> Array:
     """Two-phase (gas-condensate) snapshots ``(T, N, 2)`` — (p, Sg) — for one
     realization.
 
@@ -309,6 +473,8 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
 
     dense = _resolve_solver(solver, N)
     eye = jnp.eye(N, dtype=jnp.float32) if dense else None
+    if not dense:
+        Gx, Gy, Gz = _split_face_grids(G, prob.shape)
 
     def assemble(Tf):
         return (jnp.zeros((N, N), jnp.float32)
@@ -347,21 +513,41 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
             rvbgug = Rv * bgug
 
             # upstream relperm on faces (i1 upstream unless p rises toward i2)
-            up = (p[i2] - p[i1]) > 0
-            krgo_f = jnp.where(up, krgo[i2], krgo[i1])
-            krog_f = jnp.where(up, krog[i2], krog[i1])
-            lam_g = (krgo_f * 0.5 * (bgug[i1] + bgug[i2])
-                     + krog_f * 0.5 * (rsbouo[i1] + rsbouo[i2]))
-            lam_o = (krog_f * 0.5 * (bouo[i1] + bouo[i2])
-                     + krgo_f * 0.5 * (rvbgug[i1] + rvbgug[i2]))
-            Tg, To = G * lam_g, G * lam_o
             if dense:
+                up = (p[i2] - p[i1]) > 0
+                krgo_f = jnp.where(up, krgo[i2], krgo[i1])
+                krog_f = jnp.where(up, krog[i2], krog[i1])
+                lam_g = (krgo_f * 0.5 * (bgug[i1] + bgug[i2])
+                         + krog_f * 0.5 * (rsbouo[i1] + rsbouo[i2]))
+                lam_o = (krog_f * 0.5 * (bouo[i1] + bouo[i2])
+                         + krgo_f * 0.5 * (rvbgug[i1] + rvbgug[i2]))
+                Tg, To = G * lam_g, G * lam_o
                 Fg, Fo = assemble(Tg), assemble(To)
                 fg_apply = lambda x: Fg @ x                      # noqa: E731
                 fo_apply = lambda x: Fo @ x                      # noqa: E731
             else:
-                fg_apply = lambda x: _face_apply(x, i1, i2, Tg)  # noqa: E731
-                fo_apply = lambda x: _face_apply(x, i1, i2, To)  # noqa: E731
+                # structured face grids (no gather/scatter on the hot path)
+                p3 = p.reshape(prob.shape)
+                kg_up = _axis_upstream(krgo.reshape(prob.shape), p3)
+                ko_up = _axis_upstream(krog.reshape(prob.shape), p3)
+                bgug_a = _axis_avg(bgug.reshape(prob.shape))
+                bouo_a = _axis_avg(bouo.reshape(prob.shape))
+                rsbouo_a = _axis_avg(rsbouo.reshape(prob.shape))
+                rvbgug_a = _axis_avg(rvbgug.reshape(prob.shape))
+                Tgs, Tos = [], []
+                for Ga, kg, ko, bg, bo, rs, rv in zip(
+                        (Gx, Gy, Gz), kg_up, ko_up, bgug_a, bouo_a,
+                        rsbouo_a, rvbgug_a):
+                    if Ga is None:
+                        Tgs.append(None)
+                        Tos.append(None)
+                    else:
+                        Tgs.append(Ga * (kg * bg + ko * rs))
+                        Tos.append(Ga * (ko * bo + kg * rv))
+                fg_apply = lambda x: _stencil_apply(             # noqa: E731
+                    x.reshape(prob.shape), *Tgs).reshape(-1)
+                fo_apply = lambda x: _stencil_apply(             # noqa: E731
+                    x.reshape(prob.shape), *Tos).reshape(-1)
 
             # wells: surface-gas-rate control, min-BHP drawdown clip; the oil
             # rate follows the phase mobility ratio at the well cell
@@ -399,11 +585,13 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
             else:
                 s_apply = lambda x: (fg_apply(x) + dAg_dp * x    # noqa: E731
                                      - r * jop_apply(x))
-                s_diag = (_face_diag(N, i1, i2, Tg) + dAg_dp
-                          - r * (_face_diag(N, i1, i2, To) + dAo_dp))
-                dp, _ = jax.scipy.sparse.linalg.bicgstab(
-                    s_apply, rhs, tol=1e-7, maxiter=1000,
-                    M=lambda x: x / s_diag)
+                s_diag = (_stencil_diag(prob.shape, *Tgs).reshape(-1)
+                          + dAg_dp
+                          - r * (_stencil_diag(prob.shape, *Tos).reshape(-1)
+                                 + dAo_dp))
+                dp = _bicgstab_fixed(s_apply, rhs,
+                                     x0=jnp.zeros_like(rhs), diag=s_diag,
+                                     iters=cg_maxiter, tol=cg_tol)
             dSg = (-Ro - jop_apply(dp)) / jnp.where(
                 jnp.abs(dAo_dS) > 1e-30, dAo_dS, -1e-30)
             p_new = jnp.clip(p + dp, 14.7, 1e4)
@@ -423,7 +611,8 @@ def simulate_gas_condensate(prob: FVProblem, kscale: np.ndarray, kx: Array,
 
 def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
                           times: Array, pvt_fn, n_picard: int = 6,
-                          chunk: int = 16, solver: str = "auto") -> Array:
+                          chunk: int = 16, solver: str = "auto",
+                          cg_tol: float = 1e-7, cg_maxiter: int = 1000) -> Array:
     """vmap over realizations: (K, Nz, Ny, Nx) × (T,) → (K, T, Nz, Ny, Nx).
 
     Realizations run in chunks of ``chunk``: each dense Picard iteration
@@ -436,7 +625,8 @@ def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
     flat = jnp.asarray(kx_fields.reshape(K, -1))
     sim = jax.jit(jax.vmap(
         lambda k: simulate_dry_gas(prob, kscale, k, times, pvt_fn, n_picard,
-                                   solver=solver)))
+                                   solver=solver, cg_tol=cg_tol,
+                                   cg_maxiter=cg_maxiter)))
     outs = []
     for s in range(0, K, chunk):
         block = flat[s:s + chunk]
@@ -454,8 +644,9 @@ def simulate_realizations(prob: FVProblem, kscale: np.ndarray, kx_fields: Array,
 def simulate_realizations_gc(prob: FVProblem, kscale: np.ndarray,
                              kx_fields: Array, times: Array, pvt_fn, relperm,
                              Swmin: float, n_newton: int = 8,
-                             chunk: int = 8,
-                             solver: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+                             chunk: int = 8, solver: str = "auto",
+                             cg_tol: float = 1e-7,
+                             cg_maxiter: int = 1000) -> Tuple[np.ndarray, np.ndarray]:
     """GC vmap over realizations → (P, Sg), each ``(K, T, Nz, Ny, Nx)``.
 
     Chunked like :func:`simulate_realizations` (each Newton sweep holds two
@@ -467,7 +658,8 @@ def simulate_realizations_gc(prob: FVProblem, kscale: np.ndarray,
     sim = jax.jit(jax.vmap(
         lambda k: simulate_gas_condensate(prob, kscale, k, times, pvt_fn,
                                           relperm, Swmin, n_newton,
-                                          solver=solver)))
+                                          solver=solver, cg_tol=cg_tol,
+                                          cg_maxiter=cg_maxiter)))
     outs = []
     for s in range(0, K, chunk):
         block = flat[s:s + chunk]
