@@ -351,6 +351,14 @@ def main():
          lambda: measure_case("dg3d_production_b128", nx=39, nz=10, batch=128,
                               realizations=50, kle_method="uncorrelated",
                               general_config=_production()), 150),
+        # b256 + remat: rematerialized forwards halve activation HBM so the
+        # batch doubles again — round 3 measured this the highest-MFU config
+        ("dg3d_production_b256_remat",
+         lambda: measure_case("dg3d_production_b256_remat", nx=39, nz=10,
+                              batch=256, realizations=50,
+                              kle_method="uncorrelated",
+                              general_config=_production(
+                                  {"remat_forwards": True})), 150),
         # surrogate-replaces-the-simulator headline (ref README's "90% of
         # the total processing time" claim, measured on identical workloads)
         ("infer_vs_sim", lambda: measure_inference(), 240),

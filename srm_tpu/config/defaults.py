@@ -86,6 +86,11 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
     # 3), because most cells never see condensate dropout; focus weighting
     # shifts the label gradient onto the few localized dropout cells instead.
     "sg_td_focus": None,
+    # Debug: log per-loss-term gradient L2 norms per model at watched epochs
+    # (observability parity with the reference's 8 per-term gradients, ref
+    # physics_loss.py:849-859; one extra backward pass per term — off by
+    # default)
+    "log_term_grad_norms": False,
     # Fluid
     "fluid_type": "DG",
     "above_dew_point": True,

@@ -26,9 +26,11 @@ import numpy as np
 Labels = Union[np.ndarray, Dict[str, np.ndarray]]
 
 
-def collapse_axes_fortran(arr: np.ndarray, axes: Sequence[int] = (0, 1)) -> np.ndarray:
-    """Collapse ``axes`` into one leading axis with Fortran (first-axis-fastest)
-    ordering (ref training.py:187-204)."""
+def collapse_axes_fortran(arr: np.ndarray, axes: Sequence[int] = (0, 1),
+                          order: str = "F") -> np.ndarray:
+    """Collapse ``axes`` into one leading axis.  ``order='F'`` is
+    first-axis-fastest (the reference's default); ``'C'`` is last-axis-fastest
+    — the reference's BatchGenerator supports both (ref training.py:150-229)."""
     if not axes:
         return arr
     axes = sorted(a if a >= 0 else arr.ndim + a for a in axes)
@@ -36,7 +38,7 @@ def collapse_axes_fortran(arr: np.ndarray, axes: Sequence[int] = (0, 1)) -> np.n
     perm = other + list(axes)
     moved = np.transpose(arr, perm)
     new_shape = [arr.shape[i] for i in other] + [int(np.prod([arr.shape[a] for a in axes]))]
-    flat = np.reshape(moved, new_shape, order="F")
+    flat = np.reshape(moved, new_shape, order=order)
     return np.moveaxis(flat, -1, axes[0])
 
 
@@ -55,7 +57,8 @@ class BatchGenerator:
     def __init__(self, pairs: List[Tuple[np.ndarray, Labels]], batch_size: int,
                  collapse_axes: Optional[Sequence[int]] = (0, 1), shuffle: bool = True,
                  stack_labels: bool = False, drop_remainder: bool = True,
-                 seed: int = 0, lhs_shuffle: bool = False):
+                 seed: int = 0, lhs_shuffle: bool = False,
+                 collapse_order: str = "F"):
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.stack_labels = stack_labels
@@ -73,8 +76,11 @@ class BatchGenerator:
             self.indices = np.zeros((0,), int)
             return
 
+        if collapse_order not in ("F", "C"):
+            raise ValueError(f"collapse_order must be 'F' or 'C', got {collapse_order!r}")
         cax = list(collapse_axes) if collapse_axes else []
-        flat = lambda a: collapse_axes_fortran(np.asarray(a), cax) if cax else np.asarray(a)  # noqa: E731
+        flat = lambda a: (collapse_axes_fortran(np.asarray(a), cax, collapse_order)  # noqa: E731
+                          if cax else np.asarray(a))
 
         self.is_dict = isinstance(pairs[0][1], dict)
         self.x_all = np.concatenate([flat(f) for f, _ in pairs], axis=0)

@@ -51,101 +51,120 @@ def convert_target_spec(spec) -> Dict[str, Any]:
 
 
 def _is_mostly_numbers(line: str, threshold: float = 0.6) -> bool:
-    toks = line.replace("\t", " ").split()
-    if not toks:
+    """A data row has one float per (tab-)cell; header rows — mnemonics,
+    units, well names, and well-cell labels like ``15 15 1`` — do not."""
+    if "\t" in line:
+        cells = [c.strip() for c in line.split("\t") if c.strip()]
+    else:
+        cells = line.split()
+    if not cells:
         return False
-    numeric = 0
-    for t in toks:
-        try:
-            float(t)
-            numeric += 1
-        except ValueError:
-            pass
-    return numeric / len(toks) >= threshold
+    numeric = sum(1 for c in cells if _FLOAT.match(c))
+    return numeric / len(cells) >= threshold
 
 
-def _merge_header_lines(block: List[str]) -> List[str]:
-    """Merge the multi-line header of a tabular segment column-wise
-    (tab-separated columns; ref merge_header_lines)."""
-    rows = [ln.split("\t") for ln in block]
-    width = max(len(r) for r in rows)
-    cols = []
-    for c in range(width):
-        parts = [r[c].strip() for r in rows if c < len(r) and r[c].strip()]
-        cols.append(" ".join(parts))
-    return cols
+_FLOAT = re.compile(r"^[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?$")
+
+
+def _split_segments(text: str) -> List[Tuple[List[str], List[str]]]:
+    """Split an .RSM document into ``(header_lines, data_rows)`` segments.
+
+    A segment is a maximal run of non-blank lines (SUMMARY banners are
+    dropped); its leading non-numeric lines form the multi-line header and
+    the mostly-numeric remainder is the data block.
+    """
+    blocks: List[List[str]] = []
+    cur: List[str] = []
+    for raw in text.split("\n") + [""]:
+        # keep leading tabs: they are empty cells and removing a variable
+        # number of them would shift column alignment between rows
+        line = raw.rstrip()
+        if line.strip() and not line.strip().upper().startswith("SUMMARY"):
+            cur.append(line)
+        elif cur:
+            blocks.append(cur)
+            cur = []
+    segments = []
+    for block in blocks:
+        # drop leading numeric preamble (the ASA "1" page marker printed
+        # before each .RSM page banner)
+        while block and _is_mostly_numbers(block[0]):
+            block = block[1:]
+        split = next((k for k, ln in enumerate(block) if _is_mostly_numbers(ln)),
+                     len(block))
+        header, data = block[:split], [r for r in block[split:]
+                                       if _is_mostly_numbers(r)]
+        if header and data:
+            segments.append((header, data))
+    return segments
+
+
+def _segment_columns(header_lines: List[str],
+                     data_rows: List[str]) -> List[Tuple[str, List[float]]]:
+    """Column catalog of one segment: ``[(merged header text, values)]``.
+
+    Headers merge vertically per tab-column (mnemonic / unit / well rows
+    become one searchable string); data cells parse to float, with NaN for
+    unparseable non-empty tokens and *omission* for absent ones (ragged rows
+    happen in hand-edited decks).
+    """
+    head = [ln.split("\t") for ln in header_lines]
+    grid = [r.split("\t") for r in data_rows]
+    ncol = max(len(r) for r in head + grid)
+    catalog = []
+    for c in range(ncol):
+        text = " ".join(" ".join(r[c].split())
+                        for r in head if c < len(r) and r[c].strip())
+        vals: List[float] = []
+        for r in grid:
+            tok = r[c].strip() if c < len(r) else ""
+            if tok:
+                vals.append(float(tok) if _FLOAT.match(tok) else float("nan"))
+        catalog.append((" ".join(text.split()), vals))
+    return catalog
 
 
 def parse_tabular_file(data_str: str, target_spec, dtype=np.float32) -> Dict[str, Any]:
-    """Parse a segmented .RSM-style table (ref :148-244)."""
-    targets = convert_target_spec(target_spec)
-    result: Dict[str, Any] = {}
-    for k, v in targets.items():
-        result[k] = {sk: [] for sk in v} if isinstance(v, dict) else []
+    """Parse a segmented .RSM-style summary table.
 
-    lines = [ln.lstrip("\t").rstrip() for ln in data_str.split("\n")]
-    i, n = 0, len(lines)
-    while i < n:
-        while i < n and (not lines[i].strip() or lines[i].strip().upper().startswith("SUMMARY")):
-            i += 1
-        if i >= n:
-            break
-        header_block = []
-        while i < n and lines[i].strip() and not _is_mostly_numbers(lines[i]):
-            if not lines[i].strip().upper().startswith("SUMMARY"):
-                header_block.append(lines[i])
-            i += 1
-        if not header_block:
-            continue
-        headers = [" ".join(h.split()) for h in _merge_header_lines(header_block)]
-        colmap: Dict[str, Any] = {}
+    Behavior-parity with the reference's tabular pipeline (ref
+    simulation_data_process_pipeline.py:148-244), re-designed column-major:
+    each segment is reduced to a header→column catalog first and the targets
+    are then matched against the catalog (first column whose merged header
+    contains every phrase wins); series spanning several segments
+    concatenate in document order.  Golden fixtures:
+    ``tests/golden/sample.RSM``.
+    """
+    targets = convert_target_spec(target_spec)
+    acc: Dict[str, Any] = {
+        k: ({sk: [] for sk in v} if isinstance(v, dict) else [])
+        for k, v in targets.items()
+    }
+
+    def first_match(catalog, phrases) -> Optional[List[float]]:
+        ph = [" ".join(str(p).split()) for p in phrases]
+        return next((vals for text, vals in catalog
+                     if all(p in text for p in ph)), None)
+
+    for header_lines, data_rows in _split_segments(data_str):
+        catalog = _segment_columns(header_lines, data_rows)
         for key, spec in targets.items():
             if isinstance(spec, dict):
-                colmap[key] = {}
                 for sub, phrases in spec.items():
-                    ph = [" ".join(p.split()) for p in phrases]
-                    for ci, text in enumerate(headers):
-                        if all(p in text for p in ph):
-                            colmap[key][sub] = ci
-                            break
+                    vals = first_match(catalog, phrases)
+                    if vals is not None:
+                        acc[key][sub].extend(vals)
             else:
-                ph = [" ".join(p.split()) for p in spec]
-                for ci, text in enumerate(headers):
-                    if all(p in text for p in ph):
-                        colmap[key] = ci
-                        break
-        if not colmap or all((isinstance(v, dict) and not v) or (not isinstance(v, dict) and v is None)
-                             for v in colmap.values()):
-            while i < n and lines[i].strip():
-                i += 1
-            continue
-        while i < n and not lines[i].strip():
-            i += 1
-        while i < n and lines[i].strip() and _is_mostly_numbers(lines[i]):
-            toks = [t.strip() for t in lines[i].split("\t")]
-            for key, mapping in colmap.items():
-                if isinstance(mapping, dict):
-                    for sub, ci in mapping.items():
-                        if ci < len(toks) and toks[ci]:
-                            try:
-                                result[key][sub].append(float(toks[ci]))
-                            except ValueError:
-                                result[key][sub].append(np.nan)
-                elif mapping is not None and mapping < len(toks) and toks[mapping]:
-                    try:
-                        result[key].append(float(toks[mapping]))
-                    except ValueError:
-                        result[key].append(np.nan)
-            i += 1
-        while i < n and not lines[i].strip():
-            i += 1
+                vals = first_match(catalog, spec)
+                if vals is not None:
+                    acc[key].extend(vals)
 
-    for key, val in result.items():
-        if isinstance(val, dict):
-            result[key] = {sk: (np.asarray(v, dtype) if v else None) for sk, v in val.items()}
-        else:
-            result[key] = np.asarray(val, dtype) if val else None
-    return result
+    def finalize(v):
+        return np.asarray(v, dtype) if v else None
+
+    return {k: ({sk: finalize(sv) for sk, sv in v.items()}
+                if isinstance(v, dict) else finalize(v))
+            for k, v in acc.items()}
 
 
 def parse_continuous_file(content: str, target_keys: Sequence[str],

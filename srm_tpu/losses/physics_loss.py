@@ -1050,6 +1050,39 @@ class PhysicsLoss:
         grads_by_key = {k: grads[self.logical_name(k)] for k in self.trainable_models_keys}
         return aux, grads_by_key, total
 
+    def per_term_grad_norms(self, params, x: Array, y) -> Dict[str, Dict[str, float]]:
+        """Per-loss-term gradient L2 norms for each trainable model.
+
+        Observability parity with the reference, which returns 8 per-term
+        gradients from its loss (ref physics_loss.py:849-859) even though
+        training applies only their sum (ref training.py:643-652).  The
+        per-term grad NORMS are the usable diagnostic — a dead head (e.g. the
+        GC Sg saturation head under the softplus rectifier) shows up as a
+        ~zero row immediately.  One backward pass per (phase, term) via
+        ``jax.jacrev`` over the stacked term vector; debug-path only — do not
+        put this inside the training step.
+
+        Returns ``{"<phase>/<term>": {<model>: l2_norm}}``.
+        """
+        phases = ("gas",) if self.fluid_type == "DG" else ("gas", "oil")
+        keys = [(ph, t) for ph in phases for t in LOSS_TERMS]
+
+        def terms_vec(p):
+            _, aux = self.loss_and_metrics(p, x, y)
+            return jnp.stack([aux[ph][t] for ph, t in keys])
+
+        jac = jax.jacrev(terms_vec)(params)
+        model_names = sorted({self.logical_name(k) for k in self.trainable_models_keys})
+        out: Dict[str, Dict[str, float]] = {}
+        for i, (ph, t) in enumerate(keys):
+            row = {}
+            for name in model_names:
+                leaves = jax.tree_util.tree_leaves(jac[name])
+                sq = sum(jnp.sum(jnp.square(l[i])) for l in leaves) if leaves else 0.0
+                row[name] = float(jnp.sqrt(sq))
+            out[f"{ph}/{t}"] = row
+        return out
+
     def logical_name(self, optimizer_key: str) -> str:
         mapping = {"pressure": "pressure", "time_step": "time_step",
                    "fluid_property": "pvt_model", "well_rate_bhp": "well_rate_bhp_model",

@@ -356,6 +356,17 @@ def train_combined_models_unified(
         if epoch >= log_start_epoch:
             snap = {key: jax.device_get(trainer.params[loss_fn.logical_name(key)])
                     for key in trainer.optimizer_keys}
+            if g.get("log_term_grad_norms"):
+                # per-loss-term gradient norms on one fixed batch (diagnostic
+                # parity with the reference's 8 per-term gradients, ref
+                # physics_loss.py:849-859); one backward per term — debug only
+                x_all, y_all, _, _ = trainer._resident["train"]
+                xb = x_all[:training_batch_size]
+                yb = jax.tree_util.tree_map(lambda a: a[:training_batch_size], y_all)
+                norms = loss_fn.per_term_grad_norms(trainer.params, xb, yb)
+                for term, row in norms.items():
+                    log.info("grad-norms epoch %d %s: %s", epoch + 1, term,
+                             {m: f"{v:.3e}" for m, v in row.items()})
             if log_variables_callback is not None:
                 log_variables_callback(epoch, snap, total_train)
             for ph in loss_keys:

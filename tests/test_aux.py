@@ -220,3 +220,44 @@ def test_production_overrides():
     # the shipped defaults themselves are untouched
     assert DEFAULT_GENERAL_CONFIG["compute_dtype"] is None
     assert set(TPU_PRODUCTION_OVERRIDES) == {"compute_dtype", "dt_input_stride"}
+
+
+# --------------------------------------------------------------------------
+# Real-format golden fixtures (VERDICT r3 item 7): a multi-segment .RSM with
+# compound well-cell targets and a keyword-block .FUNRST, committed under
+# tests/golden/. Expectations are hand-derived from the files.
+# --------------------------------------------------------------------------
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_rsm_golden_multisegment():
+    with open(os.path.join(GOLDEN, "sample.RSM")) as f:
+        text = f.read()
+    out = parse_tabular_file(
+        text, [["TIME"], "WGPR", "WBHP", ["WOPR", "15 15 1"], ["WOPR", "22 3 1"]])
+    # TIME spans all three segments, concatenated in document order
+    np.testing.assert_allclose(out["TIME"],
+                               [1, 5, 10, 1, 5, 10, 20, 30])
+    # WGPR appears in segments 1 and 3 only
+    np.testing.assert_allclose(out["WGPR"],
+                               [5000, 4800, 4650, 4400, 4210])
+    np.testing.assert_allclose(out["WBHP"],
+                               [4500, 4420, 4350, 4210, 4100])
+    # compound targets disambiguate the two WOPR columns by well cell
+    np.testing.assert_allclose(out["WOPR"]["15 15 1"],
+                               [120.5, 118.2, 115.9, 112.0, 108.8])
+    np.testing.assert_allclose(out["WOPR"]["22 3 1"], [20.1, 19.7, 19.2])
+
+
+def test_funrst_golden_blocks():
+    with open(os.path.join(GOLDEN, "sample.FUNRST")) as f:
+        text = f.read()
+    out = parse_continuous_file(text, ["PRESSURE", "SGAS", "SWAT"])
+    assert len(out["PRESSURE"]) == 2          # two report steps
+    np.testing.assert_allclose(
+        out["PRESSURE"][0], [5000.0, 4999.1, 4998.2, 4997.3, 4996.4, 4995.5])
+    np.testing.assert_allclose(
+        out["PRESSURE"][1], [4899.9, 4889.8, 4879.7, 4869.6, 4859.5, 4849.4])
+    np.testing.assert_allclose(
+        out["SGAS"][0], [0.78, 0.7799, 0.7795, 0.7791, 0.7788, 0.7784])
+    assert len(out["SWAT"]) == 1

@@ -80,6 +80,21 @@ def test_collapse_axes_fortran():
     np.testing.assert_array_equal(flat[0], a[0, 0])
     np.testing.assert_array_equal(flat[1], a[1, 0])
     np.testing.assert_array_equal(flat[2], a[0, 1])
+    # C order: last axis varies fastest (full reference BatchGenerator
+    # parity, ref training.py:150-229; VERDICT r3 item 8)
+    flat_c = collapse_axes_fortran(a, [0, 1], order="C")
+    np.testing.assert_array_equal(flat_c[0], a[0, 0])
+    np.testing.assert_array_equal(flat_c[1], a[0, 1])
+    np.testing.assert_array_equal(flat_c[3], a[1, 0])
+
+
+def test_batch_generator_c_order():
+    K, T = 3, 4
+    feats = np.arange(K * T * 2, dtype=np.float32).reshape(K, T, 2)
+    gen = BatchGenerator([(feats, feats.copy())], batch_size=4, shuffle=False,
+                         collapse_order="C")
+    x, _ = gen[0]
+    np.testing.assert_array_equal(x[1], feats[0, 1])
 
 
 def test_batch_generator():

@@ -42,9 +42,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("SRM_TPU_JAX_CACHE",
-                                     "/tmp/srm_tpu_jax_cache"))
+    from srm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from srm_tpu.config import DEFAULT_GENERAL_CONFIG, DEFAULT_OPTIMIZER_CONFIGS
     from srm_tpu.examples.common import setup_case
     from srm_tpu.training.trainer import Trainer

@@ -60,7 +60,8 @@ def main():
     from srm_tpu.examples.common import setup_case
     from srm_tpu.training.trainer import Trainer
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/srm_tpu_jax_cache")
+    from srm_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))), "_srm_data"))
