@@ -41,10 +41,14 @@ def cmd_train(args):
     opt_cfgs = None
     setup_kwargs = {}
     if getattr(args, "production", False):
-        # measured-best TPU settings (bf16 nets + strided Δt input):
-        # 2.9x the f32 dg3d step AND better converged RMSE (BASELINE.md r3)
-        from srm_tpu.config import DEFAULT_GENERAL_CONFIG, apply_production_overrides
+        # measured-best TPU settings (bf16 nets + strided Δt input + retuned
+        # LR decay): 2.9x the f32 dg3d step AND better converged RMSE
+        # (25.5 vs 34.3 psia f32 baseline — BASELINE.md rounds 3-4)
+        from srm_tpu.config import (DEFAULT_GENERAL_CONFIG,
+                                    apply_production_overrides,
+                                    production_optimizer_configs)
         g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
+        opt_cfgs = production_optimizer_configs()
     if drawdown:
         # measured-best GC below-dew-point recipe: mixed physics/data on FV
         # labels, balanced td errors, 'abs' Sg rectifier, retuned LR decay,

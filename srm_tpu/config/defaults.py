@@ -104,16 +104,34 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
 }
 
 # Measured-best TPU production settings (tools/step_profile.py +
-# tools/rmse_experiment.py, round 3): bf16 conv compute with the Δt net on a
-# 2x-strided grid is 2.9x the f32 dg3d step time AND converges BETTER than
-# f32 on the matched-RMSE experiment (31.8 vs 34.3 psia). Apply with
-# ``apply_production_overrides(general_config)`` or the CLI ``--production``
-# flag. Kept out of DEFAULT_GENERAL_CONFIG so that CPU test runs and
-# reference-parity comparisons stay in plain f32.
+# tools/rmse_experiment.py, rounds 3-4): bf16 conv compute with the Δt net on
+# a 2x-strided grid is 2.9x the f32 dg3d step time AND converges BETTER than
+# f32 on the matched-RMSE experiment (31.8 vs 34.3 psia); adding the retuned
+# LR decay (``production_optimizer_configs()``, transition 250 steps instead
+# of the reference's 25, ref default_configurations.py:310-345) reaches
+# 25.5 psia at epoch 30 / ~180 s. Apply with
+# ``apply_production_overrides(general_config)`` (+ the optimizer helper) or
+# the CLI ``--production`` flag. Kept out of DEFAULT_GENERAL_CONFIG so that
+# CPU test runs and reference-parity comparisons stay in plain f32.
+#
+# Measured NON-lever (round 4 decision, VERDICT r3 item 2): network_width=64
+# was accuracy-positive vs the un-retuned profile (28.63 vs 31.8 psia) but
+# LOSES to width 32 + the retuned decay (25.5 psia) at 3x the FLOPs and ~2x
+# the wall — the extra capacity buys nothing once the LR schedule is right,
+# so width stays 32 (tools/results_rmse_srm_tpu_w64_retuned.json vs
+# results_rmse_srm_tpu_production_decay250.json).
 TPU_PRODUCTION_OVERRIDES: Dict[str, Any] = {
     "compute_dtype": "bfloat16",
     "dt_input_stride": 2,
 }
+
+# Retuned LR schedule shipped with the production profile: the reference's
+# per-step exponential decay (decay_steps=25, rate 0.9,
+# ref default_configurations.py:310-345) collapses the LR within ~2 epochs —
+# before the physics converges. 250 transition steps keeps the LR alive
+# through the convergence window on both fluids (measured on DG base,
+# GC drawdown, and DG production; BASELINE.md rounds 3-4).
+PRODUCTION_DECAY_STEPS = 250
 
 
 def apply_production_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
@@ -151,10 +169,8 @@ GC_DRAWDOWN_OVERRIDES: Dict[str, Any] = {
 # ``setup_case(..., pi=..., min_bhp=...)``.
 GC_DRAWDOWN_CASE: Dict[str, float] = {"pi": 4300.0, "min_bhp": 2000.0}
 
-# Retuned LR schedule for the recipe: the reference's per-step decay
-# (decay_steps=25, rate 0.9) collapses the LR within ~2 epochs — before the
-# two-phase physics converges.
-GC_DRAWDOWN_DECAY_STEPS = 250
+# The GC drawdown recipe shares the production schedule.
+GC_DRAWDOWN_DECAY_STEPS = PRODUCTION_DECAY_STEPS
 
 
 def apply_drawdown_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
@@ -166,15 +182,23 @@ def apply_drawdown_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def drawdown_optimizer_configs() -> Dict[str, Dict[str, Any]]:
-    """Optimizer configs with the recipe's retuned LR decay applied to every
-    decaying schedule (``GC_DRAWDOWN_DECAY_STEPS`` transition steps)."""
+def production_optimizer_configs(decay_steps: int = None) -> Dict[str, Dict[str, Any]]:
+    """Optimizer configs with the retuned LR decay applied to every decaying
+    schedule (``PRODUCTION_DECAY_STEPS`` transition steps unless overridden).
+    Part of the TPU production profile (see ``TPU_PRODUCTION_OVERRIDES``)."""
+    steps = int(PRODUCTION_DECAY_STEPS if decay_steps is None else decay_steps)
     cfgs = copy.deepcopy(DEFAULT_OPTIMIZER_CONFIGS)
     for cfg in cfgs.values():
         lr = cfg.get("exponential_decay", {}).get("learning_rate")
         if lr and lr.get("enabled"):
-            lr["decay_steps"] = int(GC_DRAWDOWN_DECAY_STEPS)
+            lr["decay_steps"] = steps
     return cfgs
+
+
+def drawdown_optimizer_configs() -> Dict[str, Dict[str, Any]]:
+    """Optimizer configs for the GC drawdown recipe (same retuned schedule
+    as the production profile)."""
+    return production_optimizer_configs(GC_DRAWDOWN_DECAY_STEPS)
 
 # --------------------------------------------------------------------------
 # Reservoir (ref :92-127)

@@ -222,6 +222,29 @@ def test_production_overrides():
     assert set(TPU_PRODUCTION_OVERRIDES) == {"compute_dtype", "dt_input_stride"}
 
 
+def test_production_optimizer_configs():
+    # the production profile ships the retuned LR decay (25.5 psia vs 31.8
+    # with the reference's 25-step schedule — BASELINE.md round 4); the
+    # drawdown recipe shares it; defaults stay at the reference's schedule
+    from srm_tpu.config import (DEFAULT_OPTIMIZER_CONFIGS,
+                                PRODUCTION_DECAY_STEPS,
+                                drawdown_optimizer_configs,
+                                production_optimizer_configs)
+    assert PRODUCTION_DECAY_STEPS == 250
+    cfgs = production_optimizer_configs()
+    n_decaying = 0
+    for name, cfg in cfgs.items():
+        lr = cfg.get("exponential_decay", {}).get("learning_rate")
+        ref = DEFAULT_OPTIMIZER_CONFIGS[name].get(
+            "exponential_decay", {}).get("learning_rate")
+        if lr and lr.get("enabled"):
+            n_decaying += 1
+            assert lr["decay_steps"] == 250
+            assert ref["decay_steps"] in (25, 100)  # defaults untouched
+    assert n_decaying > 0
+    assert drawdown_optimizer_configs() == cfgs
+
+
 # --------------------------------------------------------------------------
 # Real-format golden fixtures (VERDICT r3 item 7): a multi-segment .RSM with
 # compound well-cell targets and a keyword-block .FUNRST, committed under
