@@ -38,7 +38,6 @@ _SIG = re.compile(r":\s*\(([^)]*)\)\s*->\s*(tensor<[^>]+>)")
 _CONTRACT = re.compile(r"contracting_dims\s*=\s*\[([0-9,\s]*)\]\s*x\s*\[([0-9,\s]*)\]")
 _BATCHING = re.compile(r"batching_dims\s*=\s*\[([0-9,\s]*)\]\s*x\s*\[([0-9,\s]*)\]")
 _DIMNUM = re.compile(r"dim_numbers\s*=\s*\[[^\]]*\]x\[([^\]]*)\]->")
-_FEATGRP = re.compile(r"feature_group_count\s*=\s*(\d+)")
 
 
 def _shape(tensor_txt: str) -> Tuple[int, ...]:
@@ -98,7 +97,6 @@ def _conv_flops(rec: str) -> float:
     rhs = shapes[1]                       # the kernel
     out = _shape(out_txt)
     dn = _DIMNUM.search(rec)
-    fg = int(_FEATGRP.search(rec).group(1)) if _FEATGRP.search(rec) else 1
     if dn:
         kernel_dims = [d.strip() for d in dn.group(1).split(",")]
         try:
@@ -107,8 +105,10 @@ def _conv_flops(rec: str) -> float:
             o_idx = len(rhs) - 1
     else:
         o_idx = len(rhs) - 1
-    # reduction per output element = spatial·(cin/groups) = prod(rhs)/cout
-    red = math.prod(rhs) / max(rhs[o_idx], 1) / fg if rhs else 1
+    # reduction per output element = spatial·(cin/groups) = prod(rhs)/cout:
+    # the StableHLO kernel's input-feature dim is ALREADY cin/groups, so
+    # feature_group_count needs no extra division here
+    red = math.prod(rhs) / max(rhs[o_idx], 1) if rhs else 1
     return 2.0 * math.prod(out) * red
 
 

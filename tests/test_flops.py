@@ -44,6 +44,19 @@ def test_grad_counts_backward_dots():
     assert bwd > fwd  # backward dots are materialized in the lowered HLO
 
 
+def test_grouped_conv_flops_exact():
+    # depthwise/grouped: StableHLO kernel input-feature dim is cin/groups
+    # already — the counter must not divide by feature_group_count again
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", feature_group_count=8,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    got = fn_matmul_flops(conv, jnp.zeros((4, 16, 16, 8)),
+                          jnp.zeros((3, 3, 1, 8)))
+    assert got == 2 * 4 * 16 * 16 * 8 * 3 * 3 * 1
+
+
 def test_elementwise_is_free():
     f = lambda a: jnp.tanh(a) * 2.0 + 1.0  # noqa: E731
     assert fn_matmul_flops(f, jnp.zeros((128, 128))) == 0.0
