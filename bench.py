@@ -71,7 +71,7 @@ def _mfu(flops_per_step: float, steps_per_sec: float) -> float:
 
 def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
                  kle_method=None, pallas=None, general_config=None,
-                 fluid: str = "DG", reps: int = 3) -> dict:
+                 fluid: str = "DG", reps: int = 3, budget_left=None) -> dict:
     """Times the epoch-scanned train path: all batches of an epoch run in ONE
     device dispatch (lax.scan), so the measurement reflects device throughput
     rather than per-launch host round-trips."""
@@ -140,7 +140,18 @@ def measure_case(tag: str, *, nx=None, nz=None, batch=BATCH, realizations=None,
     # every epoch-program-based MFU in rounds 2-3 was understated by ~nb/unroll.
     # Optional XLA cross-check of the same step program behind
     # SRM_TPU_BENCH_XLA_COST=1 (costs one extra compile per case).
+    # the lowering + parse can take minutes on big programs (429 s observed
+    # on dg3d_bf16): when the wall budget is nearly spent, keep the steps/s
+    # row and skip the MFU column rather than starving the remaining cases
     flops_per_step = xla_flops_per_step = None
+    if budget_left is not None and budget_left() < 120:
+        print(f"[bench]   {tag}.flops_model: skipped (budget)",
+              file=sys.stderr, flush=True)
+        return {
+            "steps_per_sec": round(sps, 3), "batch": batch,
+            "grid": f"{nx or 39}x{nx or 39}x{nz or 1}",
+            "samples_per_sec": round(sps * batch, 1),
+        }
     try:
         import jax.numpy as jnp
         x_all, y_all, nb_, _ = trainer._resident["train"]
@@ -368,33 +379,36 @@ def main():
     def remaining():
         return budget_s - (time.perf_counter() - t_start)
 
+    def mc(tag, **kw):
+        return measure_case(tag, budget_left=remaining, **kw)
+
     # (name, thunk, est_cost_s) in priority order — the estimate is the
     # fresh-compile-cache cost ceiling used for the skip decision.
     D3 = dict(nx=39, nz=10, batch=32, realizations=50,
               kle_method="uncorrelated")
     plan = [
-        ("dg2d", lambda: measure_case("dg2d"), 90),
+        ("dg2d", lambda: mc("dg2d"), 90),
         ("dg2d_production",
-         lambda: measure_case("dg2d_production", general_config=_production()),
+         lambda: mc("dg2d_production", general_config=_production()),
          90),
-        ("dg3d", lambda: measure_case("dg3d", **D3), 120),
+        ("dg3d", lambda: mc("dg3d", **D3), 120),
         ("dg3d_production",
-         lambda: measure_case("dg3d_production", general_config=_production(),
+         lambda: mc("dg3d_production", general_config=_production(),
                               **D3), 120),
-        ("gc2d", lambda: measure_case("gc2d", fluid="GC"), 120),
+        ("gc2d", lambda: mc("gc2d", fluid="GC"), 120),
         ("gc3d_production",
-         lambda: measure_case("gc3d_production", fluid="GC",
+         lambda: mc("gc3d_production", fluid="GC",
                               general_config=_bf16({"dt_input_stride": 2}),
                               **D3), 150),
         # batch-scaled production 3D: the compute-bound MFU row
         ("dg3d_production_b128",
-         lambda: measure_case("dg3d_production_b128", nx=39, nz=10, batch=128,
+         lambda: mc("dg3d_production_b128", nx=39, nz=10, batch=128,
                               realizations=50, kle_method="uncorrelated",
                               general_config=_production()), 150),
         # b256 + remat: rematerialized forwards halve activation HBM so the
         # batch doubles again — round 3 measured this the highest-MFU config
         ("dg3d_production_b256_remat",
-         lambda: measure_case("dg3d_production_b256_remat", nx=39, nz=10,
+         lambda: mc("dg3d_production_b256_remat", nx=39, nz=10,
                               batch=256, realizations=50,
                               kle_method="uncorrelated",
                               general_config=_production(
@@ -402,15 +416,15 @@ def main():
         # surrogate-replaces-the-simulator headline (ref README's "90% of
         # the total processing time" claim, measured on identical workloads)
         ("infer_vs_sim", lambda: measure_inference(), 240),
-        ("gc3d", lambda: measure_case("gc3d", fluid="GC", **D3), 120),
-        ("dg3d_bf16", lambda: measure_case("dg3d_bf16", general_config=_bf16(),
+        ("gc3d", lambda: mc("gc3d", fluid="GC", **D3), 120),
+        ("dg3d_bf16", lambda: mc("dg3d_bf16", general_config=_bf16(),
                                            **D3), 120),
         ("dg2d_large",
-         lambda: measure_case("dg2d_large", nx=117, batch=128,
+         lambda: mc("dg2d_large", nx=117, batch=128,
                               realizations=50, kle_method="uncorrelated"), 150),
-        ("gc2d_bf16", lambda: measure_case("gc2d_bf16", fluid="GC",
+        ("gc2d_bf16", lambda: mc("gc2d_bf16", fluid="GC",
                                            general_config=_bf16()), 120),
-        ("dg2d_jnp", lambda: measure_case("dg2d_jnp", pallas=False), 90),
+        ("dg2d_jnp", lambda: mc("dg2d_jnp", pallas=False), 90),
     ]
 
     cases = {}
