@@ -391,11 +391,15 @@ def main():
         ("dg2d_production",
          lambda: mc("dg2d_production", general_config=_production()),
          90),
+        # gc2d ahead of the 3D cases: a cold compile cache can eat the whole
+        # budget on the 3D programs (round-4 first run: dg2d compile 587s,
+        # dg3d 435s, everything after skipped) and the artifact must always
+        # include a GC row alongside the production row
+        ("gc2d", lambda: mc("gc2d", fluid="GC"), 120),
         ("dg3d", lambda: mc("dg3d", **D3), 120),
         ("dg3d_production",
          lambda: mc("dg3d_production", general_config=_production(),
                               **D3), 120),
-        ("gc2d", lambda: mc("gc2d", fluid="GC"), 120),
         ("gc3d_production",
          lambda: mc("gc3d_production", fluid="GC",
                               general_config=_bf16({"dt_input_stride": 2}),
