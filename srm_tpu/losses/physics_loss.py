@@ -373,8 +373,20 @@ class PhysicsLoss:
                  "cmbc": w[ph]["cmbc"], "tde": w[ph]["tde"], "td": w[ph]["td"]}
             for ph in phases
         }
+        # Trainable-model set: the conv nets always; 'fluid_property' joins
+        # when the PVT backend is the trainable polynomial — the reference
+        # maps an optimizer to the PVT model (ref default_configurations.py:
+        # 420-433 'fluid_property': 'pvt_model'), its training loop applies
+        # that gradient (ref training.py:643-652), and the polynomial
+        # coefficients are trainable weights (ref PVT_Layer_Subclassed.py:
+        # 108-116). The spline backend is solved once at init and carries no
+        # flax params, so it stays frozen (matching the shipped examples).
+        trainable = {"pressure", "time_step", "saturation"}
+        pvt_layer = getattr(models.get("pvt_model"), "pvt_layer", None)
+        if getattr(pvt_layer, "fitting_method", None) == "polynomial":
+            trainable.add("fluid_property")
         self.trainable_models_keys = [k for k in self.optimizer_model_names_map
-                                      if k in ("pressure", "time_step", "saturation")]
+                                      if k in trainable]
 
     # ------------------------------------------------------------------
     # helpers

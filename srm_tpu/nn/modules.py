@@ -216,6 +216,7 @@ def build_pvt_model(name: str = "pvt_model_only", fluid_type: Optional[str] = No
     (ref :197-265)."""
     g = general_config or DEFAULT_GENERAL_CONFIG
     fluid_type = fluid_type or g["fluid_type"]
+    fitting_method = fitting_method or "spline"
     pvt_cfg = get_configuration("pvt_layer", fluid_type=fluid_type,
                                 fitting_method=fitting_method)
     pvt_cfg["spline_order"] = spline_order
@@ -259,7 +260,8 @@ def build_model_map(input_shape: Tuple[int, ...], fluid_type: Optional[str] = No
     models["time_step"] = time_step
     params["time_step"] = time_step.init(k_ts, sample)
 
-    pvt = build_pvt_model(fluid_type=fluid_type, general_config=g)
+    pvt = build_pvt_model(fluid_type=fluid_type, general_config=g,
+                          fitting_method=g.get("pvt_fitting_method", "spline"))
     models["pvt_model"] = pvt
     p_sample = pressure.apply(params["pressure"], sample)
     params["pvt_model"] = pvt.init(k_pvt, p_sample)

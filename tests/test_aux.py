@@ -284,3 +284,41 @@ def test_funrst_golden_blocks():
     np.testing.assert_allclose(
         out["SGAS"][0], [0.78, 0.7799, 0.7795, 0.7791, 0.7788, 0.7784])
     assert len(out["SWAT"]) == 1
+
+
+def test_finite_difference_derivative():
+    """Matches the analytic derivative and scrubs non-finite entries
+    (ref auxiliary_functions.py:80-109)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from srm_tpu.utils.numerics import finite_difference_derivative
+
+    x = jnp.linspace(0.5, 2.0, 7)
+    d = finite_difference_derivative(x, lambda v: v ** 2, grid_spacing=1e-3)
+    np.testing.assert_allclose(np.asarray(d), 2 * np.asarray(x), rtol=1e-3)
+    # forward difference, multi-output callable → stacked leading axis
+    d2 = finite_difference_derivative(
+        x, lambda v: (v ** 2, jnp.sin(v)), diff_type="forward", grid_spacing=1e-4)
+    assert d2.shape == (2, 7)
+    np.testing.assert_allclose(np.asarray(d2[1]), np.cos(np.asarray(x)), atol=1e-3)
+    # 1/x blows up at 0 → scrubbed to zero, not NaN/Inf
+    d3 = finite_difference_derivative(jnp.asarray([0.0]), lambda v: 1.0 / v,
+                                      grid_spacing=1.0)
+    assert np.isfinite(np.asarray(d3)).all()
+
+
+def test_l1_normalize_excluding_index():
+    """The excluded slice keeps its values; the rest L1-normalize over the
+    axis (ref data_processing_utils.py:1209-1241)."""
+    import numpy as np
+    from srm_tpu.utils.numerics import l1_normalize_excluding_index
+
+    t = np.array([[1.0, -2.0, 3.0], [0.0, 0.0, 5.0]])
+    out = np.asarray(l1_normalize_excluding_index(t, axis=1, exclude_index=2))
+    # row 0: |1| + |-2| = 3 → [1/3, -2/3, kept 3]
+    np.testing.assert_allclose(out[0], [1 / 3, -2 / 3, 3.0], rtol=1e-6)
+    # row 1: zero norm → divide_no_nan semantics (zeros), excluded kept
+    np.testing.assert_allclose(out[1], [0.0, 0.0, 5.0])
+    # negative axis resolves
+    out2 = np.asarray(l1_normalize_excluding_index(t, axis=-1, exclude_index=2))
+    np.testing.assert_allclose(out2, out)

@@ -319,3 +319,47 @@ def test_dt_input_stride_loss_and_grads(small_case):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
     tstep = float(jnp.mean(aux["outputs"]["tstep"]))
     assert 0.1 <= tstep <= 10.0
+
+
+def test_polynomial_pvt_is_trainable(small_case):
+    """VERDICT r4 item 5: with the polynomial PVT backend, 'fluid_property'
+    joins the trainable set (ref default_configurations.py:420-433 maps it to
+    pvt_model and training.py:643-652 applies its gradient; the coefficients
+    are trainable weights, ref PVT_Layer_Subclassed.py:108-116) and a train
+    step moves the coefficients. The spline backend stays frozen."""
+    from srm_tpu.losses.physics_loss import PhysicsLoss
+    from srm_tpu.nn.modules import build_model_map
+    from srm_tpu.training.trainer import Trainer
+
+    # shipped default (spline backend): solved once at init, no flax params,
+    # and 'fluid_property' is NOT a trainable key
+    base = small_case["loss_fn"]
+    assert "fluid_property" not in base.trainable_models_keys
+    assert not jax.tree_util.tree_leaves(small_case["params"]["pvt_model"])
+
+    proc = small_case["processor"]
+    g = copy.deepcopy(base.general_config)
+    g["pvt_fitting_method"] = "polynomial"
+    models, params = build_model_map(
+        small_case["train_groups"][0][0].shape, fluid_type="DG",
+        general_config=g, reservoir_config=proc.reservoir_config,
+        wells_config=proc.wells_config, data_summary=base.data_summary)
+    loss = PhysicsLoss(models, base.data_summary, general_config=g,
+                       reservoir_config=proc.reservoir_config,
+                       wells_config=proc.wells_config, fluid_type="DG",
+                       use_pallas_stencil=False)
+    assert "fluid_property" in loss.trainable_models_keys
+
+    trainer = Trainer(loss, params)
+    assert "fluid_property" in trainer.optimizer_keys
+    before = jax.device_get(trainer.params["pvt_model"])
+    x, y = small_case["train_groups"][0]
+    xb = np.asarray(x[:4, 0])
+    yb = {k: np.asarray(v[:4, 0]) for k, v in y.items()}
+    metrics = trainer.train_step(xb, yb)
+    assert np.isfinite(float(metrics["total"]))
+    after = jax.device_get(trainer.params["pvt_model"])
+    deltas = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+              for a, b in zip(jax.tree_util.tree_leaves(after),
+                              jax.tree_util.tree_leaves(before))]
+    assert deltas and max(deltas) > 0, "polynomial PVT coefficients did not move"
