@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from srm_tpu.nn.common import fold_time, get_activation, get_initializer, network_width_list
+from srm_tpu.parallel.mesh import constrain_spatial
 
 Array = jnp.ndarray
 
@@ -140,6 +141,13 @@ class EncoderDecoderModel(nn.Module):
         cdt_io = None if self.f32_io else cdt
 
         x, unfold = fold_time(inputs, self.temporal)
+        # (data × space) mesh anchor: pin every conv-level activation so XLA
+        # SPMD keeps one consistent plan through forward AND backward (the
+        # constraint is its own transpose) instead of falling back to
+        # "Involuntary full rematerialization" on the low-res interior.
+        # No-op outside a trainer's activation_mesh_scope.
+        h_ax = 1 + (nd - 2)
+        x = constrain_spatial(x, h_ax)
         in_channels = x.shape[-1]
         true_spatial = x.shape[1:-1]
         # TPU tile alignment: zero-pad H/W up to spatial_pad_to before the
@@ -165,20 +173,26 @@ class EncoderDecoderModel(nn.Module):
                             kernel_init=init, name=f"enc_conv_{i+1}")(x)
             else:
                 pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
-                x = jnp.pad(x, pad)
+                # the pad is anchored too: the conv input-gradient otherwise
+                # back-propagates its own (spatially resharded) layout through
+                # the pad's slice-transpose into the activation cotangents
+                x = constrain_spatial(jnp.pad(x, pad), h_ax)
                 ks = k + 2 if i < self.depth - 1 else k
                 x = nn.Conv(dtype=cdt, features=filters[i], kernel_size=(ks,) * nd, strides=2, padding="VALID",
                             kernel_init=init, name=f"enc_conv_{i+1}")(x)
+            x = constrain_spatial(x, h_ax)
             if self._use_skip(i):
                 skips[i + 1] = x        # pre-activation, as in ref :267-268
-            x = act(x)
+            # anchor the post-activation tensor too: its cotangent feeds the
+            # next conv's input gradient, which otherwise picks its own layout
+            x = constrain_spatial(act(x), h_ax)
             if (self.dropout_rate > 0 and i < len(self.dropout_layers)
                     and self.dropout_layers[i] == 1):
                 x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         for j in range(self.extra_conv_layers):
             x = nn.Conv(dtype=cdt, features=filters[-1], kernel_size=(k,) * nd, strides=1, padding="SAME",
                         kernel_init=init, name=f"enc_extra_conv_{j+1}")(x)
-            x = act(x)
+            x = act(constrain_spatial(x, h_ax))
 
         # ---------------- latent (ref EncoderDecoderModel :855-958) ----------
         lat_act = get_activation(self.latent_activation)
@@ -198,6 +212,7 @@ class EncoderDecoderModel(nn.Module):
             for d in range(self.latent_depth):
                 x = lat_act(nn.Dense(dtype=cdt, features=self.latent_width, kernel_init=init,
                                      name=f"latent_dense_{d}")(x))
+        x = constrain_spatial(x, h_ax)
 
         # XLA:TPU miscompile guard: when the deconv chain will NOT land
         # exactly on the target grid (small grids: 9→15, 13→23 — the bilinear
@@ -237,7 +252,7 @@ class EncoderDecoderModel(nn.Module):
                     skip = nn.Dense(dtype=cdt, features=x.shape[-1], kernel_init=init,
                                     name=f"skip_proj_{level}")(skip)
                 x = x + skip
-            x = act(x)
+            x = act(constrain_spatial(x, h_ax))
             if (self.dropout_rate > 0 and (self.depth - i - 1) < len(self.dropout_layers)
                     and self.dropout_layers[self.depth - i - 1] == 1):
                 x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
@@ -260,11 +275,12 @@ class EncoderDecoderModel(nn.Module):
                     diff = d_t - d_c
                     x = jnp.pad(x, [(0, 0), (diff // 2, diff - diff // 2),
                                     (0, 0), (0, 0), (0, 0)])
+            x = constrain_spatial(x, h_ax)
 
         for j in range(self.extra_dec_conv_layers):
             x = nn.Conv(dtype=cdt, features=filters[0], kernel_size=(k,) * nd, strides=1, padding="SAME",
                         kernel_init=init, name=f"dec_extra_conv_{j+1}")(x)
-            x = act(x)
+            x = act(constrain_spatial(x, h_ax))
 
         if pad_hw is not None and any(pad_hw):
             # crop the alignment padding before the (full-resolution) output
@@ -285,4 +301,4 @@ class EncoderDecoderModel(nn.Module):
                         kernel_init=init, name="output_proj")(x)
         if cdt is not None:
             x = x.astype(jnp.float32)
-        return unfold(x)
+        return unfold(constrain_spatial(x, h_ax))

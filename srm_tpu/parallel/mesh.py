@@ -103,5 +103,77 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+# --------------------------------------------------------------------------
+# Activation sharding constraints (VERDICT r4 item 3)
+#
+# On a 2-D (data × space) mesh, XLA's automatic sharding propagation through
+# the encoder–decoder *backward* pass picks inconsistent layouts for the
+# low-resolution interior activations and falls back to "Involuntary full
+# rematerialization" (replicate-then-reshard) — correct but wasteful on real
+# ICI. Pinning every conv-level activation with with_sharding_constraint
+# gives the partitioner one consistent plan: batch on 'data' everywhere, H on
+# 'space' only while the shard is at least one pixel per device (halo
+# exchanges at full resolution, batch-sharded interior). The constraint is
+# its own transpose, so the backward pass is anchored identically.
+# --------------------------------------------------------------------------
+import contextlib
+import contextvars
+
+_ACTIVATION_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "srm_tpu_activation_mesh", default=None)
+
+
+@contextlib.contextmanager
+def activation_mesh_scope(mesh: Optional[Mesh]):
+    """Install ``mesh`` for :func:`constrain_spatial` within the scope.
+
+    The trainer wraps its step/epoch implementations (which execute at trace
+    time) in this scope; model code built outside a trainer sees ``None``
+    and constraints are a no-op. Only meshes with a 'space' axis activate —
+    pure data-parallel propagation needs no help.
+    """
+    token = _ACTIVATION_MESH.set(
+        mesh if mesh is not None and "space" in mesh.axis_names else None)
+    try:
+        yield
+    finally:
+        _ACTIVATION_MESH.reset(token)
+
+
+def constrain_spatial(x, h_axis: int):
+    """Pin one activation's sharding: batch (axis 0) on 'data', H (``h_axis``)
+    on 'space' while the dimension divides the mesh axis. Once H shrinks
+    below the 'space' axis (the encoder bottleneck) the spatial dims are left
+    UNCONSTRAINED — forcing replication there makes the conv input-gradient
+    partitioner (which prefers a padded spatial sharding for its halo
+    exchanges) emit involuntary-full-rematerialization reshards on every
+    bottleneck cotangent. No-op outside :func:`activation_mesh_scope`."""
+    mesh = _ACTIVATION_MESH.get()
+    if mesh is None:
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    parts: list = [None] * x.ndim
+    if x.shape[0] % sizes["data"] == 0:
+        parts[0] = "data"
+    if h_axis < x.ndim and x.shape[h_axis] % sizes["space"] == 0:
+        parts[h_axis] = "space"
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*parts)))
+
+
+def constrain_replicated(tree):
+    """Pin a pytree (the model params inside the step/epoch program) to fully
+    replicated. Without this, shardy propagates 'space' onto carried conv
+    WEIGHTS (kernel-H sharded, transposed device order) from their use next
+    to space-sharded activations, and every backward layout derived from them
+    needs involuntary-full-remat reshards. No-op outside
+    :func:`activation_mesh_scope`."""
+    mesh = _ACTIVATION_MESH.get()
+    if mesh is None:
+        return tree
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m

@@ -105,7 +105,13 @@ class Trainer:
         return metrics
 
     def _train_step_impl(self, params, opt_state, x, y):
-        aux, grads, total = self.loss_fn.pinn_batch_sse_grad(params, x, y)
+        from srm_tpu.parallel.mesh import (activation_mesh_scope,
+                                           constrain_replicated)
+        with activation_mesh_scope(self.mesh):  # trace-time: anchors conv
+            # activations on a (data × space) mesh (constrain_spatial) and
+            # pins the carried weights replicated (constrain_replicated)
+            params = constrain_replicated(params)
+            aux, grads, total = self.loss_fn.pinn_batch_sse_grad(params, x, y)
         new_params = dict(params)
         new_opt_state = dict(opt_state)
         for key in self.optimizer_keys:
@@ -116,7 +122,11 @@ class Trainer:
         return new_params, new_opt_state, self._scalar_metrics(aux, total)
 
     def _eval_step_impl(self, params, x, y):
-        total, aux = self.loss_fn.loss_and_metrics(params, x, y)
+        from srm_tpu.parallel.mesh import (activation_mesh_scope,
+                                           constrain_replicated)
+        with activation_mesh_scope(self.mesh):
+            params = constrain_replicated(params)
+            total, aux = self.loss_fn.loss_and_metrics(params, x, y)
         return self._scalar_metrics(aux, total)
 
     def _train_epoch_impl(self, params, opt_state, xs, ys):

@@ -32,6 +32,7 @@ def test_spec_assignment():
     assert tuple(_spec_for_rank(mesh, 2)) == ("data", None)
 
 
+@pytest.mark.slow
 def test_dp_sp_train_step_matches_unsharded(sp_case):
     from srm_tpu.parallel.mesh import make_mesh
     from srm_tpu.training.trainer import Trainer
@@ -56,6 +57,7 @@ def test_dp_sp_train_step_matches_unsharded(sp_case):
     assert tuple(spec) == ("data", None, "space", None, None)
 
 
+@pytest.mark.slow
 def test_remat_forwards_matches_baseline(sp_case):
     """remat_forwards recomputes activations in the backward pass; forward
     values and gradients must be numerically identical to the stored-
@@ -97,6 +99,7 @@ def sp_case_gc(tmp_path_factory):
     return setup_gas_condensate_case(base_dir=base, nx=12, n_realizations=8)
 
 
+@pytest.mark.slow
 def test_gc_dp_sp_train_step_matches_unsharded(sp_case_gc):
     """GC loss (4-flux upstream stencil + per-phase MBC reductions) under the
     2-D (data × space) mesh ≡ unsharded — VERDICT r2 weak item 3."""
@@ -117,6 +120,7 @@ def test_gc_dp_sp_train_step_matches_unsharded(sp_case_gc):
     assert float(m["total"]) == pytest.approx(float(t_ref), rel=1e-3)
 
 
+@pytest.mark.slow
 def test_resident_epoch_dp_sp_matches_unsharded(sp_case):
     """The HBM-resident epoch path (device-side permutation + gather inside
     lax.scan) under the 2-D (data x space) mesh computes the same per-step
