@@ -322,8 +322,15 @@ class SRMDataProcessor:
                 os.remove(path)
         tr, va, te, pr, stats, _ = self.process_data()
         payload = {"train": tr, "val": va, "test": te, "pred": pr}
-        # atomic publish: never let a crash mid-write leave a truncated cache
+        # atomic publish: never let a crash mid-write leave a truncated cache.
+        # Uncompressed by default: the woven fields are log-normal float noise
+        # (zlib saves ~12% on the 3D reference-scale cache) while the
+        # single-core decompress costs 47 s vs 18 s per load — the bench's
+        # per-case setup phase pays that on every fresh process
+        # (SRM_TPU_DATA_COMPRESS=1 restores compression for scarce disk).
         tmp = path + ".tmp.npz"      # np.savez appends .npz to other suffixes
-        np.savez_compressed(tmp, payload=np.array(payload, dtype=object))
+        save = (np.savez_compressed if os.environ.get("SRM_TPU_DATA_COMPRESS")
+                else np.savez)
+        save(tmp, payload=np.array(payload, dtype=object))
         os.replace(tmp, path)
         return path, tr, va, te, pr

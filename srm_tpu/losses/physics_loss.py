@@ -36,6 +36,7 @@ value (the reference's 6-channel variant carried it as a channel; the shipped
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -333,25 +334,36 @@ class PhysicsLoss:
         self.relperm = RelativePermeability.from_config(
             self.scal_config["end_points"], self.scal_config["corey_exponents"])
         # constant DG relperm at Sgi, evaluated eagerly so it is a static
-        # Python float inside jitted losses (used by the Pallas config)
-        self._krgo_sgi = float(self.relperm(jnp.asarray(self.Sgi))[1])
+        # Python float inside jitted losses (used by the Pallas config).
+        # Evaluated on the HOST CPU backend: on a remote-attached chip this
+        # single scalar round-trip rides the tunnel, whose degraded phases
+        # were measured at 30+ s per fetch (round 5) — a setup stall for a
+        # value that never needs the accelerator.
+        try:
+            _cpu = jax.local_devices(backend="cpu")
+        except RuntimeError:
+            _cpu = []
+        with (jax.default_device(_cpu[0]) if _cpu else contextlib.nullcontext()):
+            self._krgo_sgi = float(self.relperm(jnp.asarray(self.Sgi))[1])
 
-        # well scatter grids: (H, W) plane for Nz == 1, full (D, H, W) for 3D
-        well = models["well_rate_bhp_model"]
-        conn = well.well_data["connection_index"]
-        Ny, Nx, Nz = res["Ny"], res["Nx"], res["Nz"]
-        self.Nz = Nz
-        self.kv_kh = res.get("vertical_anisotropy", 1.0)
-        if Nz > 1:
-            self.q_well_idx = np.asarray(
-                scatter_to_grid((1, Nz, Ny, Nx), conn, 1.0, start_dim=1))[0]
-            self.q_t0 = np.asarray(scatter_to_grid(
-                (1, Nz, Ny, Nx), conn, well.well_data["control_mode_value"], start_dim=1))[0]
-        else:
-            self.q_well_idx = np.asarray(
-                scatter_to_grid((1, Ny, Nx), conn[:, 1:], 1.0, start_dim=1))[0]
-            self.q_t0 = np.asarray(scatter_to_grid(
-                (1, Ny, Nx), conn[:, 1:], well.well_data["control_mode_value"], start_dim=1))[0]
+            # well scatter grids ((H, W) plane for Nz == 1, full (D, H, W)
+            # for 3D) — also host-side: each np.asarray(...) is otherwise a
+            # full-grid device→host fetch through the tunnel at setup
+            well = models["well_rate_bhp_model"]
+            conn = well.well_data["connection_index"]
+            Ny, Nx, Nz = res["Ny"], res["Nx"], res["Nz"]
+            self.Nz = Nz
+            self.kv_kh = res.get("vertical_anisotropy", 1.0)
+            if Nz > 1:
+                self.q_well_idx = np.asarray(
+                    scatter_to_grid((1, Nz, Ny, Nx), conn, 1.0, start_dim=1))[0]
+                self.q_t0 = np.asarray(scatter_to_grid(
+                    (1, Nz, Ny, Nx), conn, well.well_data["control_mode_value"], start_dim=1))[0]
+            else:
+                self.q_well_idx = np.asarray(
+                    scatter_to_grid((1, Ny, Nx), conn[:, 1:], 1.0, start_dim=1))[0]
+                self.q_t0 = np.asarray(scatter_to_grid(
+                    (1, Ny, Nx), conn[:, 1:], well.well_data["control_mode_value"], start_dim=1))[0]
 
         # stat rows
         ds = data_summary
