@@ -77,6 +77,7 @@ def test_3d_dataset_and_models(case_3d):
     assert dt.shape == (2, 1, 3, 9, 9, 1)
 
 
+@pytest.mark.slow
 def test_3d_pallas_matches_jnp(case_3d):
     """use_pallas_stencil reproduces the 7-point jnp residual (interpret on
     CPU; Mosaic on TPU)."""
@@ -103,6 +104,7 @@ def test_3d_pallas_matches_jnp(case_3d):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
+@pytest.mark.slow
 def test_3d_gc_loss_and_grads(tmp_path_factory):
     """GC + Nz>1 routes to the 7-point two-phase residual (round-1 judged
     this silently-wrong; now a real _residuals_gc_3d)."""

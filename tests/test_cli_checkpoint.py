@@ -15,6 +15,7 @@ def test_cli_generate_data(tmp_path):
     assert roots and roots[0].startswith("KLE_39x39x1_R4")
 
 
+@pytest.mark.slow
 def test_trainer_checkpoint_and_resume(tmp_path, dg9_case):
     from srm_tpu.training.trainer import train_combined_models_unified
 
@@ -68,6 +69,7 @@ def test_drawdown_preset_config():
     assert retuned > 0
 
 
+@pytest.mark.slow
 def test_cli_train_drawdown(tmp_path, capsys):
     """`srm_tpu train --drawdown` runs the full recipe end to end: GC fluid
     forced, sub-dew-point FV labels simulated for every split, one mixed

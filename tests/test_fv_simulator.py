@@ -92,6 +92,7 @@ def test_fv_simulator_mass_balance(sim_proc):
         assert abs(total_dm + total_q) < 0.02 * abs(total_q), (total_dm, total_q)
 
 
+@pytest.mark.slow
 def test_simulator_label_training_and_rmse(sim_proc, tmp_path):
     """Data-mode training on FV-simulator labels: loss decreases on REAL
     (non-zero) labels and a pressure RMSE is computable — the accuracy metric
@@ -132,6 +133,7 @@ def test_simulator_label_training_and_rmse(sim_proc, tmp_path):
     assert rmse < 3500.0
 
 
+@pytest.mark.slow
 def test_infer_vs_sim_bench_case(dg9_case):
     """The ``infer_vs_sim`` bench case (bench.measure_inference): the
     surrogate rollout and the FV simulator run the same workload and the

@@ -133,6 +133,7 @@ def test_gc_simulator_mass_balance(gc_sim_bits):
         assert abs(float(dm_o.sum()) + total_qo) < 0.02 * total_qo
 
 
+@pytest.mark.slow
 def test_gc_label_training_and_rmse(gc_proc):
     """Data-mode GC training on the two-phase simulator's non-zero
     PRESSURE+SGAS labels: loss decreases, and both pressure and saturation

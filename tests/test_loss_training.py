@@ -127,6 +127,7 @@ def test_training_decreases_loss_fixed_batch(dg_case):
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_multi_device_matches_single_device(dg_case):
     """Data-parallel over the 8-device CPU mesh computes the same loss as an
     unsharded evaluation (gradient/metric all-reduce correctness), and a full
@@ -169,6 +170,7 @@ def test_predictor_rollout(dg_case):
     assert np.isfinite(np.asarray(q)).all()
 
 
+@pytest.mark.slow
 def test_gc_loss_builds_and_runs(gc13_case):
     """Gas-condensate path: saturation model + two-phase residuals."""
     from srm_tpu.losses.physics_loss import PhysicsLoss
@@ -194,6 +196,7 @@ def test_gc_loss_builds_and_runs(gc13_case):
         assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0, key
 
 
+@pytest.mark.slow
 def test_loss_heterogeneous_porosity(dg13_case):
     """Per-cell porosity in the loss (VERDICT r3 item 4; ref
     physics_loss.py:21-27 phi_0_ij): a constant phi-field reproduces the
@@ -238,6 +241,7 @@ def test_loss_heterogeneous_porosity(dg13_case):
     assert not np.isclose(tde_het, tde_scalar, rtol=1e-2), (tde_het, tde_scalar)
 
 
+@pytest.mark.slow
 def test_per_term_grad_norms(dg13_case):
     """Per-loss-term gradient-norm diagnostics (VERDICT r3 item 8; reference
     returns 8 per-term gradients, ref physics_loss.py:849-859): active

@@ -14,6 +14,7 @@ def small_case(dg13_case):
     return dg13_case
 
 
+@pytest.mark.slow
 def test_pallas_loss_matches_jnp_loss(small_case):
     """PhysicsLoss with use_pallas_stencil=True reproduces the jnp residual
     losses (interpret mode on CPU; compiled Mosaic on TPU)."""
@@ -43,6 +44,7 @@ def test_pallas_loss_matches_jnp_loss(small_case):
     assert sum(float(jnp.sum(jnp.abs(l))) for l in leaves) > 0
 
 
+@pytest.mark.slow
 def test_pallas_gc_loss_matches_jnp_loss(gc13_case):
     """GC PhysicsLoss with use_pallas_stencil=True reproduces the jnp
     two-phase residual losses (interpret mode on CPU; Mosaic on TPU)."""

@@ -170,6 +170,7 @@ def test_build_model_map_dg():
     assert pvt.shape == (2, 2, 2, 1, 39, 39, 1)
 
 
+@pytest.mark.slow
 def test_saturation_abs_rectifier_keeps_gradient_alive():
     """GC saturation head: with ``sat_input_activation='abs'`` the departure
     rectifier's zero-departure attractor sits at net=0 where |d act/d net|=1,

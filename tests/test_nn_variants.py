@@ -163,6 +163,7 @@ def test_mixed_precision_policy_f32_islands():
     assert err_mixed < err_bf16, (err_mixed, err_bf16)
 
 
+@pytest.mark.slow
 def test_spatial_pad_to_preserves_shapes():
     """spatial_pad_to zero-pads H/W to a TPU-tile-friendly size inside the
     network and crops at the output: shapes must be unchanged and gradients

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_training_is_deterministic(dg9_case):
     """Same seed → identical loss trajectory (dataset RNG, init RNG and
     device-side shuffling are all keyed)."""
@@ -27,6 +28,7 @@ def test_training_is_deterministic(dg9_case):
 
 
 @pytest.mark.parametrize("epochs", [3])
+@pytest.mark.slow
 def test_unified_training_end_to_end(tmp_path, epochs, dg13_case):
     from srm_tpu.training.trainer import train_combined_models_unified
 
