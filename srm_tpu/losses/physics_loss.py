@@ -271,7 +271,6 @@ class PhysicsLoss:
             # faster at every compute-bound scale (BASELINE.md round-2 table).
             # On CPU backends pallas falls back to interpret mode, which is
             # far slower than the jnp twin — keep it off there.
-            import jax
             use_pallas_stencil = jax.default_backend() == "tpu"
         self.use_pallas_stencil = use_pallas_stencil
         self.models = models
