@@ -48,7 +48,10 @@ def cmd_train(args):
                                     apply_production_overrides,
                                     production_optimizer_configs)
         g = apply_production_overrides(DEFAULT_GENERAL_CONFIG)
-        opt_cfgs = production_optimizer_configs()
+        # the retuned decay is a ~8000-SAMPLE period: scale its step count to
+        # whatever batch size this run actually trains with
+        opt_cfgs = production_optimizer_configs(
+            batch_size=args.batch_size or g["training_batch_size"])
     if drawdown:
         # measured-best GC below-dew-point recipe: mixed physics/data on FV
         # labels, balanced td errors, 'abs' Sg rectifier, retuned LR decay,

@@ -120,26 +120,52 @@ DEFAULT_GENERAL_CONFIG: Dict[str, Any] = {
 # the wall — the extra capacity buys nothing once the LR schedule is right,
 # so width stays 32 (tools/results_rmse_srm_tpu_w64_retuned.json vs
 # results_rmse_srm_tpu_production_decay250.json).
+#
+# Round-5 promotion (VERDICT r4 item 2): training_batch_size 128. b128 was
+# the measured high-MFU configuration (23.8% vs 21.1% at b32 on dg3d, 1.76×
+# per-sample throughput, BASELINE.md round-4 table) but stayed un-promoted
+# until the accuracy gate ran. Measured on the matched-RMSE protocol with
+# the decay retuned to the same SAMPLE budget (62 steps at b128 ≡ 250 at
+# b32 ≡ ~8000 samples): best 21.72 psia @ epoch 55 — BETTER than the b32
+# production best (25.50 @ 30) on identical features/labels
+# (tools/results_rmse_srm_tpu_production_b128_d62.json). The schedule must
+# scale with the batch — use ``production_decay_steps(batch)`` /
+# ``production_optimizer_configs(batch_size=...)``; a fixed 250-step decay
+# at b128 holds the LR high 4× longer in sample terms.
 TPU_PRODUCTION_OVERRIDES: Dict[str, Any] = {
     "compute_dtype": "bfloat16",
     "dt_input_stride": 2,
+    "training_batch_size": 128,
 }
 
 # Retuned LR schedule shipped with the production profile: the reference's
 # per-step exponential decay (decay_steps=25, rate 0.9,
 # ref default_configurations.py:310-345) collapses the LR within ~2 epochs —
-# before the physics converges. 250 transition steps keeps the LR alive
-# through the convergence window on both fluids (measured on DG base,
-# GC drawdown, and DG production; BASELINE.md rounds 3-4).
-PRODUCTION_DECAY_STEPS = 250
+# before the physics converges. 250 transition steps AT BATCH 32 keeps the
+# LR alive through the convergence window on both fluids (measured on DG
+# base, GC drawdown, and DG production; BASELINE.md rounds 3-5). The
+# batch-invariant form is PRODUCTION_DECAY_SAMPLES: one decay period every
+# ~8000 samples (250×32 ≡ 62×128 ≡ 31×256).
+PRODUCTION_DECAY_SAMPLES = 8000
+PRODUCTION_DECAY_STEPS = 250        # the b32 form (back-compat constant)
+
+
+def production_decay_steps(batch_size: Optional[int] = None) -> int:
+    """LR-decay transition steps for the production schedule at a given
+    batch size (the measured ~8000-sample decay period, batch-invariant)."""
+    b = int(batch_size
+            or TPU_PRODUCTION_OVERRIDES.get("training_batch_size", 32))
+    return max(1, round(PRODUCTION_DECAY_SAMPLES / b))
 
 
 def apply_production_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
     """Return a copy of ``general_config`` with the measured-best TPU
-    production settings applied (explicit user settings win)."""
+    production settings applied (explicit user settings win — a value that
+    differs from the DEFAULT_GENERAL_CONFIG default is left alone)."""
     out = copy.deepcopy(general_config)
     for k, v in TPU_PRODUCTION_OVERRIDES.items():
-        if out.get(k) in (None, False):
+        cur = out.get(k)
+        if cur in (None, False) or cur == DEFAULT_GENERAL_CONFIG.get(k):
             out[k] = v
     return out
 
@@ -182,11 +208,15 @@ def apply_drawdown_overrides(general_config: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def production_optimizer_configs(decay_steps: int = None) -> Dict[str, Dict[str, Any]]:
+def production_optimizer_configs(decay_steps: int = None,
+                                 batch_size: int = None) -> Dict[str, Dict[str, Any]]:
     """Optimizer configs with the retuned LR decay applied to every decaying
-    schedule (``PRODUCTION_DECAY_STEPS`` transition steps unless overridden).
-    Part of the TPU production profile (see ``TPU_PRODUCTION_OVERRIDES``)."""
-    steps = int(PRODUCTION_DECAY_STEPS if decay_steps is None else decay_steps)
+    schedule. The transition-step count comes from ``decay_steps`` if given,
+    else from the batch-invariant ~8000-sample period scaled to
+    ``batch_size`` (default: the production batch — see
+    ``production_decay_steps``). Part of the TPU production profile."""
+    steps = int(production_decay_steps(batch_size)
+                if decay_steps is None else decay_steps)
     cfgs = copy.deepcopy(DEFAULT_OPTIMIZER_CONFIGS)
     for cfg in cfgs.values():
         lr = cfg.get("exponential_decay", {}).get("learning_rate")

@@ -205,6 +205,13 @@ class Trainer:
         if ds.N == 0:
             self._resident[name] = None
             return 0, 0
+        if batch_size > ds.N:
+            # a batch larger than the dataset would make nb=0 and silently
+            # train nothing (possible since the production profile promotes
+            # batch 128: a small smoke case may hold fewer samples)
+            log.warning("stage_dataset[%s]: batch %d > N=%d — clamping the "
+                        "batch to the dataset size", name, batch_size, ds.N)
+            batch_size = ds.N
         x_all = replicate(jnp.asarray(ds.x_all), self.mesh)
         y_all = replicate(jax.tree_util.tree_map(jnp.asarray, ds.y_all), self.mesh)
         nb = ds.N // batch_size

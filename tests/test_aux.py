@@ -216,10 +216,20 @@ def test_production_overrides():
     import copy
     g2 = copy.deepcopy(DEFAULT_GENERAL_CONFIG)
     g2["compute_dtype"] = "float32"
-    assert apply_production_overrides(g2)["compute_dtype"] == "float32"
+    g2["training_batch_size"] = 64          # non-default: user's choice wins
+    out2 = apply_production_overrides(g2)
+    assert out2["compute_dtype"] == "float32"
+    assert out2["training_batch_size"] == 64
+    # the promoted high-MFU batch (VERDICT r4 item 2: 23.8% MFU at b128 vs
+    # 21.1% at b32; accuracy gate 21.72 vs 25.50 psia —
+    # tools/results_rmse_srm_tpu_production_b128_d62.json) replaces the
+    # reference-default batch when the user left it at the default
+    assert g["training_batch_size"] == 128
     # the shipped defaults themselves are untouched
     assert DEFAULT_GENERAL_CONFIG["compute_dtype"] is None
-    assert set(TPU_PRODUCTION_OVERRIDES) == {"compute_dtype", "dt_input_stride"}
+    assert DEFAULT_GENERAL_CONFIG["training_batch_size"] == 32
+    assert set(TPU_PRODUCTION_OVERRIDES) == {
+        "compute_dtype", "dt_input_stride", "training_batch_size"}
 
 
 def test_production_optimizer_configs():
@@ -229,9 +239,15 @@ def test_production_optimizer_configs():
     from srm_tpu.config import (DEFAULT_OPTIMIZER_CONFIGS,
                                 PRODUCTION_DECAY_STEPS,
                                 drawdown_optimizer_configs,
+                                production_decay_steps,
                                 production_optimizer_configs)
     assert PRODUCTION_DECAY_STEPS == 250
-    cfgs = production_optimizer_configs()
+    # the decay is a ~8000-SAMPLE period, batch-invariant (round 5):
+    # 250 steps at the reference batch 32, 62 at the promoted batch 128
+    assert production_decay_steps(32) == 250
+    assert production_decay_steps(128) == 62
+    assert production_decay_steps() == 62       # default = production batch
+    cfgs = production_optimizer_configs(batch_size=32)
     n_decaying = 0
     for name, cfg in cfgs.items():
         lr = cfg.get("exponential_decay", {}).get("learning_rate")
@@ -242,6 +258,7 @@ def test_production_optimizer_configs():
             assert lr["decay_steps"] == 250
             assert ref["decay_steps"] in (25, 100)  # defaults untouched
     assert n_decaying > 0
+    # the GC drawdown recipe was measured at b32 and keeps that schedule
     assert drawdown_optimizer_configs() == cfgs
 
 
